@@ -1,0 +1,81 @@
+"""Vectorized pandas UDFs (Arrow-batched) — the ONLY Python crossings.
+
+Per ``input_hint``: "vectorized pandas/Arrow UDFs (no per-row Python)
+throughout". Each UDF receives whole Arrow batches as pandas Series; the
+bodies loop in tight Python over the batch (there is no C kernel available
+for InDel/JW in this environment), which is the documented fallback of
+SURVEY.md §2.10. Everything that CAN stay native (regex normalize steps,
+url parsing, array ops) is native in ``native.py`` — these UDFs cover only
+ascii-fold transliteration and the similarity scorers.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import hashing, kernels
+
+
+@F.pandas_udf(T.StringType())
+def norm_text_udf(s: pd.Series) -> pd.Series:
+    """Reference normalize_text (check_landing_page...py:16-27)."""
+    return s.map(lambda x: kernels.normalize_text(x) if x is not None else "")
+
+
+@F.pandas_udf(T.StringType())
+def ascii_fold_udf(s: pd.Series) -> pd.Series:
+    return s.map(lambda x: kernels.ascii_fold(x) if x is not None else None)
+
+
+@F.pandas_udf(T.DoubleType())
+def indel_ratio_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """rapidfuzz fuzz.ratio parity (check_landing_page...py:163-164,232-233)."""
+    return pd.Series(
+        [kernels.indel_ratio(x, y) for x, y in zip(a, b)], index=a.index, dtype="float64"
+    )
+
+
+@F.pandas_udf(T.DoubleType())
+def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [kernels.jaro_winkler(x, y) for x, y in zip(a, b)], index=a.index, dtype="float64"
+    )
+
+
+@F.pandas_udf(T.DoubleType())
+def token_set_ratio_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [kernels.token_set_ratio(x, y) for x, y in zip(a, b)], index=a.index, dtype="float64"
+    )
+
+
+def make_minhash_bands_udf(num_perm: int = 64, bands: int = 16, shingle_k: int = 3, seed: int = 42):
+    """MinHash LSH band keys over normalized text (north_rule title blocking).
+
+    Deterministic seeds -> identical bands on every executor.
+    """
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _udf(s: pd.Series) -> pd.Series:
+        def one(text):
+            if not text:
+                return []
+            return hashing.minhash_bands(
+                hashing.shingles(text, k=shingle_k), num_perm=num_perm, bands=bands, seed=seed
+            )
+
+        return s.map(one)
+
+    return _udf
+
+
+@F.pandas_udf(T.LongType())
+def simhash_udf(s: pd.Series) -> pd.Series:
+    return s.map(lambda x: hashing.simhash64(x.split()) if x else 0).astype("int64")
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def char_trigrams_udf(s: pd.Series) -> pd.Series:
+    return s.map(lambda x: hashing.char_ngrams(x, 3) if x else [])

@@ -1,0 +1,173 @@
+"""Unit + property tests for the scalar kernels (SURVEY.md §5.1, §5.5)."""
+
+from __future__ import annotations
+
+import string
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.functions import (
+    hashing,
+    kernels,
+)
+
+
+# --- oracles -----------------------------------------------------------------
+
+def lcs_dp(a: str, b: str) -> int:
+    """O(nm) DP oracle for LCS length."""
+    m, n = len(a), len(b)
+    prev = [0] * (n + 1)
+    for i in range(1, m + 1):
+        cur = [0] * (n + 1)
+        for j in range(1, n + 1):
+            cur[j] = prev[j - 1] + 1 if a[i - 1] == b[j - 1] else max(prev[j], cur[j - 1])
+        prev = cur
+    return prev[n]
+
+
+# --- normalize_text (ref check_landing_page...py:16-27) ----------------------
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("  Hello,  World! ", "hello world"),
+        ("Łukasz Gołębiewski", "lukasz golebiewski"),
+        ("Universidad de São Paulo", "universidad de sao paulo"),
+        ("Müller-Lüdenscheidt", "mullerludenscheidt"),
+        ("ØREBRO æ œ ß", "orebro ae oe ss"),
+        ("Café “quoted” – dash", "cafe quoted dash"),
+        ("", ""),
+        (None, ""),
+        ("123 ABC!@#", "123 abc"),
+        ("a\t\nb   c", "a b c"),
+    ],
+)
+def test_normalize_text(raw, expected):
+    assert kernels.normalize_text(raw) == expected
+
+
+@given(st.text(max_size=80))
+@settings(max_examples=200, deadline=None)
+def test_normalize_idempotent(s):
+    once = kernels.normalize_text(s)
+    assert kernels.normalize_text(once) == once
+    assert all(c in string.ascii_lowercase + string.digits + " " for c in once)
+
+
+# --- InDel ratio (rapidfuzz fuzz.ratio parity) --------------------------------
+
+@pytest.mark.parametrize(
+    "a,b,expected",
+    [
+        ("", "", 100.0),
+        ("abc", "", 0.0),
+        ("abc", "abc", 100.0),
+        ("abcd", "abce", 75.0),   # indel dist 2, total 8 -> 100*(1-2/8)
+        ("ab", "ba", 50.0),       # LCS 1 -> dist 2, total 4
+        ("kitten", "sitting", 100 * (1 - 5 / 13)),  # LCS 4 -> dist 13-8=5
+    ],
+)
+def test_indel_ratio_known(a, b, expected):
+    assert kernels.indel_ratio(a, b) == pytest.approx(expected)
+
+
+@given(st.text(alphabet="abcdef ", max_size=40), st.text(alphabet="abcdef ", max_size=40))
+@settings(max_examples=300, deadline=None)
+def test_lcs_bitparallel_matches_dp(a, b):
+    assert kernels.lcs_length(a, b) == lcs_dp(a, b)
+
+
+@given(st.text(max_size=30), st.text(max_size=30))
+@settings(max_examples=200, deadline=None)
+def test_indel_ratio_properties(a, b):
+    r = kernels.indel_ratio(a, b)
+    assert 0.0 <= r <= 100.0
+    assert r == pytest.approx(kernels.indel_ratio(b, a))  # symmetry
+    assert kernels.indel_ratio(a, a) == 100.0
+
+
+# --- Jaro-Winkler -------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "a,b,expected",
+    [
+        ("MARTHA", "MARHTA", 96.11),
+        ("DIXON", "DICKSONX", 81.33),
+        ("DWAYNE", "DUANE", 84.0),
+        ("abc", "abc", 100.0),
+        ("", "", 100.0),
+        ("abc", "", 0.0),
+    ],
+)
+def test_jaro_winkler_known(a, b, expected):
+    assert kernels.jaro_winkler(a, b) == pytest.approx(expected, abs=0.01)
+
+
+@given(st.text(max_size=25), st.text(max_size=25))
+@settings(max_examples=200, deadline=None)
+def test_jw_bounds_symmetry(a, b):
+    r = kernels.jaro_winkler(a, b)
+    assert 0.0 <= r <= 100.0 + 1e-9
+    assert r == pytest.approx(kernels.jaro_winkler(b, a))
+
+
+# --- token_set_ratio ----------------------------------------------------------
+
+def test_token_set_ratio_reorder_invariant():
+    assert kernels.token_set_ratio("journal of fish biology", "biology of fish journal") == 100.0
+
+
+def test_token_set_ratio_subset():
+    # one side's tokens are a subset of the other's -> 100 (fuzzywuzzy semantics)
+    assert kernels.token_set_ratio("fish biology", "journal of fish biology") == 100.0
+
+
+def test_token_set_ratio_disjoint_low():
+    assert kernels.token_set_ratio("aaa bbb", "ccc ddd") < 50.0
+
+
+@given(st.text(alphabet="ab c", max_size=30), st.text(alphabet="ab c", max_size=30))
+@settings(max_examples=150, deadline=None)
+def test_token_set_bounds(a, b):
+    r = kernels.token_set_ratio(a, b)
+    assert 0.0 <= r <= 100.0
+    assert r == pytest.approx(kernels.token_set_ratio(b, a))
+
+
+# --- hashing ------------------------------------------------------------------
+
+def test_minhash_deterministic():
+    toks = ["journal", "of", "fish", "biology"]
+    s1 = hashing.minhash_signature(toks)
+    s2 = hashing.minhash_signature(list(toks))
+    assert (s1 == s2).all()
+
+
+def test_minhash_bands_similarity():
+    a = hashing.shingles("the international journal of applied fish biology research")
+    b = hashing.shingles("the international journal of applied fish biology science")
+    c = hashing.shingles("annals of pure mathematics quarterly review board proceedings")
+    ba, bb, bc = (set(hashing.minhash_bands(x)) for x in (a, b, c))
+    assert ba & bb  # near-duplicates share >=1 band
+    assert not ba & bc  # unrelated titles share none
+
+
+def test_simhash_near_duplicates_close():
+    a = hashing.simhash64("the quick brown fox jumps over the lazy dog".split())
+    b = hashing.simhash64("the quick brown fox jumps over the lazy cat".split())
+    c = hashing.simhash64("entirely different words appear in this sentence here".split())
+    assert hashing.hamming64(a, b) < hashing.hamming64(a, c)
+
+
+def test_shingles():
+    assert hashing.shingles("a b c d", 3) == ["a b c", "b c d"]
+    assert hashing.shingles("a b", 3) == ["a b"]
+    assert hashing.shingles("", 3) == []
+
+
+def test_jaccard():
+    assert hashing.jaccard(set(), set()) == 1.0
+    assert hashing.jaccard({"a"}, {"a", "b"}) == 0.5
