@@ -71,6 +71,33 @@ def make_minhash_bands_udf(num_perm: int = 64, bands: int = 16, shingle_k: int =
     return _udf
 
 
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def norm_nonempty_array_udf(arr: pd.Series) -> pd.Series:
+    """[norm(x) for x in arr if x], then drop empties — the affiliation
+    normalization of check_landing_page...py:209-213 (both filters)."""
+
+    def one(a):
+        if a is None:
+            return []
+        normed = [kernels.normalize_text(x) for x in a if x]
+        return [x for x in normed if x]
+
+    return arr.map(one)
+
+
+@F.pandas_udf(T.DoubleType())
+def max_indel_over_array_udf(q: pd.Series, arr: pd.Series) -> pd.Series:
+    """max(fuzz.ratio(q, x) for x in arr), 0.0 on empty — the institution
+    score loop of check_landing_page...py:230-241."""
+
+    def one(query, cands):
+        if not query or cands is None or len(cands) == 0:
+            return 0.0
+        return max(kernels.indel_ratio(query, c) for c in cands)
+
+    return pd.Series([one(x, y) for x, y in zip(q, arr)], index=q.index, dtype="float64")
+
+
 @F.pandas_udf(T.LongType())
 def simhash_udf(s: pd.Series) -> pd.Series:
     return s.map(lambda x: hashing.simhash64(x.split()) if x else 0).astype("int64")

@@ -1,0 +1,79 @@
+"""Multi-key blocking (north_rule): normalized-ISSN exact keys, tokenized
+journal-title MinHash bands, publisher-domain keys.
+
+Generalizes the reference's blocking ideas — DOI as an equi-block key
+(check_landing_page...py:70-74) and the (scheme,host,port) URL key semi-join
+(main.rs:239-243) — to three key families that survive 10^12-doc scale:
+every key is computed locally (no shuffle), the only shuffle is the candidate
+pair join in ``pairs.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.udfs import make_minhash_bands_udf
+
+MINHASH_NUM_PERM = 64
+MINHASH_BANDS = 16
+MINHASH_SHINGLE_K = 3
+
+
+def blocking_keys(
+    records: DataFrame,
+    use_issn: bool = True,
+    use_title_bands: bool = True,
+    use_domain: bool = True,
+) -> DataFrame:
+    """(doc_id, side, key) — one row per (document, blocking key).
+
+    Key families are namespaced ('issn:', 'band:', 'domain:') so collisions
+    across families are impossible.
+    """
+    parts = []
+    if use_issn:
+        parts.append(
+            records.where(F.col("norm_issn").isNotNull()).select(
+                "doc_id",
+                "side",
+                F.concat(F.lit("issn:"), F.col("norm_issn")).alias("key"),
+            )
+        )
+    if use_domain:
+        parts.append(
+            records.where(F.col("domain").isNotNull() & (F.col("domain") != "")).select(
+                "doc_id",
+                "side",
+                F.concat(F.lit("domain:"), F.col("domain")).alias("key"),
+            )
+        )
+    if use_title_bands:
+        bands_udf = make_minhash_bands_udf(
+            num_perm=MINHASH_NUM_PERM, bands=MINHASH_BANDS, shingle_k=MINHASH_SHINGLE_K
+        )
+        parts.append(
+            records.where(F.col("norm_title").isNotNull() & (F.col("norm_title") != ""))
+            .select(
+                "doc_id",
+                "side",
+                F.explode(bands_udf(F.col("norm_title"))).alias("band"),
+            )
+            .select("doc_id", "side", F.concat(F.lit("band:"), F.col("band")).alias("key"))
+        )
+    if not parts:
+        raise ValueError("at least one key family must be enabled")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def block_size_metrics(keys: DataFrame) -> DataFrame:
+    """Per-key block sizes — fed to the lineage table and to the skew splitter
+    (the audit-counter discipline of main.rs:86-144 applied to blocking)."""
+    return keys.groupBy("key").agg(
+        F.count("*").alias("block_size"),
+        F.sum(F.when(F.col("side") == "pkp", 1).otherwise(0)).alias("n_left"),
+        F.sum(F.when(F.col("side") == "oa", 1).otherwise(0)).alias("n_right"),
+    )

@@ -1,0 +1,96 @@
+"""Transitive clustering: iterative large-star / small-star connected
+components as DataFrame self-joins with checkpointed convergence.
+
+The reference makes per-pair decisions only (check_landing_page...py emits
+one decision per row; no transitive closure anywhere) — clusters are the
+north_rule extension. Algorithm: Kiveris et al., "Connected Components in
+MapReduce and Beyond" (SOCC'14) — alternating large-star/small-star rounds,
+each a groupBy-min + join, O(log n) rounds on any graph shape.
+
+Scale notes:
+- every round is one shuffle (groupBy node) + one broadcast-size-agnostic
+  join on node; ``localCheckpoint()`` after each round truncates lineage so
+  the plan doesn't grow across iterations (SURVEY.md §7.4 risk (e)),
+- convergence = the edge multiset stops changing, tested with a cheap
+  count + xxhash64 checksum aggregate (no full exceptAll at scale),
+- node ids are strings; min() over the string total order picks the root.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every neighbor v > u to min(N(u) ∪ {u})."""
+    und = edges.select("u", "v").unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = und.groupBy("u").agg(F.min("v").alias("mv"))
+    mins = mins.withColumn("m", F.least(F.col("mv"), F.col("u"))).drop("mv")
+    return (
+        und.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Within each node's smaller-or-equal neighborhood, connect all to the min."""
+    directed = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+    out = (
+        directed.join(mins, "u")
+        .select(F.col("v").alias("node"), "m")
+        .unionByName(mins.select(F.col("u").alias("node"), "m"))
+        .where(F.col("node") != F.col("m"))
+        .select(F.col("node").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+    return out
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count("*").alias("n"),
+        # decimal sum: ANSI-safe (no long overflow) and order-independent
+        F.coalesce(
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+        ).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 25, checkpoint_each_round: bool = True
+) -> DataFrame:
+    """(node, cluster_id) for every node appearing in ``edges``(u, v).
+
+    cluster_id = min node id of the component (deterministic, order-free —
+    the CC invariants of SURVEY.md §5.5).
+    """
+    all_nodes = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    e = edges.select("u", "v").where(F.col("u") != F.col("v")).distinct()
+    prev = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e))
+        if checkpoint_each_round:
+            e = e.localCheckpoint(eager=True)
+        cur = _checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    # converged star graph: every edge is (member, root)
+    labels = e.select(F.col("u").alias("node"), F.col("v").alias("cluster_id"))
+    roots_and_singletons = all_nodes.join(
+        labels, "node", "left_anti"
+    ).select("node", F.col("node").alias("cluster_id"))
+    return labels.unionByName(roots_and_singletons)

@@ -1,0 +1,59 @@
+"""documents.spans -> structured journal-record fields (order-preserving).
+
+The reference extracts fields from HTML/JSON payloads per document
+(parse_landing_page_html.py:54-97; parse_record_data_from_files.py:210-281).
+Here documents are the ``input_hint`` interleaved span table; text spans carry
+'KEY: value' lines. All span handling uses order-preserving array ops
+(``filter``/``transform`` — never explode-and-regroup), keeping the per-row
+span-sequence invariant (SURVEY.md §1.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import native
+from ..functions.udfs import ascii_fold_udf
+
+_FIELDS = ["TITLE", "ISSN", "PUBLISHER", "COUNTRY", "URL"]
+
+
+def text_of(doc_spans_col) -> "F.Column":
+    """Concatenate text spans in offset order (spans are stored ordered; we
+    re-assert order with array_sort on offset to survive any upstream shuffle)."""
+    ordered = F.array_sort(
+        doc_spans_col, lambda a, b: a["offset"].cast("int") - b["offset"].cast("int")
+    )
+    texts = F.transform(
+        F.filter(ordered, lambda s: s["kind"] == F.lit("text")), lambda s: s["text"]
+    )
+    return F.array_join(texts, "\n")
+
+
+def extract_records(documents: DataFrame) -> DataFrame:
+    """One row per document with typed fields + normalized forms.
+
+    Normalization = ascii-fold (pandas UDF, the only Python crossing) composed
+    with native lower/regex steps — F1 parity with check_landing_page...py:16-27.
+    """
+    doc_text = text_of(F.col("spans"))
+    df = documents.select(
+        "doc_id",
+        F.when(F.col("doc_id").startswith("pkp:"), F.lit("pkp"))
+        .otherwise(F.lit("oa"))
+        .alias("side"),
+        *[
+            F.nullif(
+                F.regexp_extract(doc_text, rf"(?m)^{f}: (.*)$", 1), F.lit("")
+            ).alias(f.lower())
+            for f in _FIELDS
+        ],
+    )
+    return df.select(
+        "*",
+        native.norm_ascii(ascii_fold_udf(F.col("title"))).alias("norm_title"),
+        native.normalize_issn(F.col("issn")).alias("norm_issn"),
+        native.registrable_domain(F.col("url")).alias("domain"),
+        native.norm_ascii(ascii_fold_udf(F.col("publisher"))).alias("norm_publisher"),
+    )

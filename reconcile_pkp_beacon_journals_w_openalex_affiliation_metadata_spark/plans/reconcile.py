@@ -1,0 +1,56 @@
+"""The flagship end-to-end plan: documents -> clusters.
+
+Mirrors the reference pipeline order (compare_openalex/README.md:3-20)
+re-expressed Spark-first:
+
+    documents (interleaved spans, input_hint)
+      -> extract_records       (order-preserving span ops + ascii-fold UDF)
+      -> blocking_keys         (ISSN exact | title minhash bands | domain)
+      -> candidate_pairs       (salted hash join, skew split, dedup)
+      -> score_pairs           (vectorized similarity + calibrated logistic)
+      -> matched_edges -> connected_components (large-star/small-star)
+
+Each stage is a pure DataFrame -> DataFrame function; the catalog layer
+(sources.catalog) commits stage outputs for resumability.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+from ..operators import blocking, cluster, extract, pairs, scoring
+
+
+@dataclass
+class ReconcileResult:
+    records: DataFrame
+    keys: DataFrame
+    candidate_pairs: DataFrame
+    scored: DataFrame
+    clusters: DataFrame
+
+
+def reconcile(
+    documents: DataFrame,
+    n_salts: int = pairs.DEFAULT_N_SALTS,
+    hot_pair_threshold: int = 1_000_000,
+    max_block_size: int | None = None,
+    with_clusters: bool = True,
+) -> ReconcileResult:
+    records = extract.extract_records(documents)
+    keys = blocking.blocking_keys(records)
+    cand = pairs.candidate_pairs(
+        keys,
+        n_salts=n_salts,
+        hot_pair_threshold=hot_pair_threshold,
+        max_block_size=max_block_size,
+    )
+    scored = scoring.score_pairs(cand, records)
+    clusters = (
+        cluster.connected_components(scoring.matched_edges(scored))
+        if with_clusters
+        else None
+    )
+    return ReconcileResult(records, keys, cand, scored, clusters)
