@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship record-linkage pipeline end-to-end on the
+sf0.001 documents table (wrapped into the interleaved-span ``input_hint``
+shape). ``queries()`` exposes one named query per implemented operator from
+SURVEY.md §2 (plus the training-data operator family); ``oracle_sql()`` gives
+the DuckDB-equivalent SQL for every SQL-expressible one.
+
+Column-name/value parity rules used throughout:
+- every computed column is aliased identically on both sides,
+- floats are rounded (and exact decimal arithmetic used for big sums),
+- timestamps are formatted to strings.
 """
 
 from __future__ import annotations
@@ -12,27 +17,1026 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+_TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship: documents -> interleaved spans -> reconcile pipeline
+# ---------------------------------------------------------------------------
+
+def wrap_documents_as_spans(docs: DataFrame) -> DataFrame:
+    """Deterministically wrap the flat driver ``documents`` table into the
+    input_hint shape (doc_id string, spans array<struct<kind,text,media_ref,
+    offset>>), embedding extractable TITLE/PUBLISHER/URL fields."""
+    side = F.when(F.col("doc_id") % 2 == 0, F.lit("pkp")).otherwise(F.lit("oa"))
+    sid = F.concat(side, F.lit(":D"), F.lpad(F.col("doc_id").cast("string"), 6, "0"))
+    title = F.concat(F.lit("TITLE: "), F.array_join(F.slice(F.split(F.col("text"), " "), 1, 6), " "))
+    publisher = F.concat(F.lit("PUBLISHER: "), F.col("source"))
+    country = F.concat(F.lit("COUNTRY: "), F.upper(F.col("lang")))
+    url = F.concat(
+        F.lit("URL: https://journals."), F.col("source"), F.lit(".example.org/index.php/j"),
+        (F.col("doc_id") % 50).cast("string"),
+    )
+    body = F.concat(F.lit("BODY: "), F.col("text"))
+    span = lambda txt, off: F.struct(  # noqa: E731
+        F.lit("text").alias("kind"),
+        txt.alias("text"),
+        F.lit("").alias("media_ref"),
+        F.lit(off).cast("int").alias("offset"),
+    )
+    media = F.struct(
+        F.lit("media").alias("kind"),
+        F.lit("").alias("text"),
+        F.concat(F.lit("img://"), sid, F.lit("/5")).alias("media_ref"),
+        F.lit(5).cast("int").alias("offset"),
+    )
+    return docs.select(
+        sid.alias("doc_id"),
+        F.array(
+            span(title, 0), span(publisher, 1), span(country, 2), span(url, 3),
+            span(body, 4), media,
+        ).alias("spans"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full blocking -> salted candidate pairs -> vectorized scoring
+    over the sf0.001 documents wrapped as interleaved span docs."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.plans.reconcile import (
+        reconcile,
+    )
+
+    docs = wrap_documents_as_spans(_t(spark, SF_DEFAULT, "documents"))
+    res = reconcile(docs, with_clusters=False, max_block_size=500)
+    return res.scored.select(
+        "left_id", "right_id", "blocking_key", "n_shared_keys",
+        "title_indel", "title_jw", "title_tsr", "match_prob", "is_match_pred",
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
+
+_Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_O: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        _Q[name] = fn
+        if oracle is not None:
+            _O[name] = oracle
+        return fn
+
+    return deco
+
+
+# --- P: projections / filters / predicates ----------------------------------
+
+@_q(
+    "p1_project_filter",
+    """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+       WHERE l_shipdate < TIMESTAMP '1997-01-01' AND l_returnflag = 'N'""",
+)
+def p1(spark, sf):
+    # S1/P1/P2: schema-first scan, projection + predicate pushed to parquet
+    li = _t(spark, sf, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") < "1997-01-01") & (F.col("l_returnflag") == "N")
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice")
+
+
+@_q(
+    "p2_nonblank_filter",
+    """SELECT event_type, count(*) AS n FROM events
+       WHERE props IS NOT NULL AND trim(props) <> '' GROUP BY event_type
+       ORDER BY event_type""",
+)
+def p2(spark, sf):
+    ev = _t(spark, sf, "events")
+    return (
+        ev.where(F.col("props").isNotNull() & (F.trim("props") != ""))
+        .groupBy("event_type").agg(F.count("*").alias("n"))
+        .orderBy("event_type")
+    )
+
+
+@_q(
+    "p3_prefix_predicate",
+    """SELECT doc_id FROM documents WHERE starts_with(trim(text), 'the')
+       ORDER BY doc_id""",
+)
+def p3(spark, sf):
+    # the DOI-format predicate shape (check_landing_page...py:66-71)
+    return (
+        _t(spark, sf, "documents")
+        .where(F.trim("text").startswith("the"))
+        .select("doc_id").orderBy("doc_id")
+    )
+
+
+@_q(
+    "p6_status_routing",
+    """SELECT CASE WHEN k IS NULL THEN 'JSON_DECODE_ERROR'
+                   WHEN k >= 50 THEN 'HIGH' WHEN k > 0 THEN 'OK'
+                   ELSE 'ZERO' END AS parse_status, count(*) AS n
+       FROM (SELECT try_cast(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k
+             FROM events)
+       GROUP BY 1 ORDER BY parse_status""",
+)
+def p6(spark, sf):
+    # malformed-row routing: status columns, not drops (parse_record:173-186)
+    ev = _t(spark, sf, "events").withColumn(
+        "k", F.expr("try_cast(regexp_extract(props, '\"k\": ([0-9]+)', 1) AS INT)")
+    )
+    return (
+        ev.withColumn(
+            "parse_status",
+            F.when(F.col("k").isNull(), "JSON_DECODE_ERROR")
+            .when(F.col("k") >= 50, "HIGH")
+            .when(F.col("k") > 0, "OK")
+            .otherwise("ZERO"),
+        )
+        .groupBy("parse_status").agg(F.count("*").alias("n"))
+        .orderBy("parse_status")
+    )
+
+
+# --- J: joins -----------------------------------------------------------------
+
+@_q(
+    "j1_broadcast_semi",
+    """SELECT count(*) AS n_rows,
+              round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2)::DOUBLE AS revenue
+       FROM lineitem WHERE l_suppkey IN (
+         SELECT s_suppkey FROM supplier WHERE s_nationkey = 7)""",
+)
+def j1(spark, sf):
+    # works ⋉ base_urls (main.rs:216-260) as broadcast left-semi join
+    li = _t(spark, sf, "lineitem")
+    supp = _t(spark, sf, "supplier").where(F.col("s_nationkey") == 7).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    return li.join(F.broadcast(supp), "l_suppkey", "left_semi").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
+        .cast("double").alias("revenue"),
+    )
+
+
+@_q(
+    "j2_left_lookup_join",
+    """SELECT coalesce(c_mktsegment, 'UNKNOWN') AS segment, count(*) AS n_orders
+       FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+       GROUP BY 1 ORDER BY segment""",
+)
+def j2(spark, sf):
+    # landing ⟕ works by DOI (check:128-141) as keyed left join
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "left")
+        .groupBy(F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"))
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("segment")
+    )
+
+
+@_q(
+    "j3_top1_per_group",
+    """SELECT l_orderkey, l_linenumber, l_extendedprice FROM (
+         SELECT l_orderkey, l_linenumber, l_extendedprice,
+                row_number() OVER (PARTITION BY l_orderkey
+                  ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rn
+         FROM lineitem) WHERE rn = 1 ORDER BY l_orderkey""",
+)
+def j3(spark, sf):
+    # argmax-in-block with first-max tie-break (check:163-169 / W1)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_linenumber").asc()
+    )
+    return (
+        _t(spark, sf, "lineitem")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_orderkey")
+    )
+
+
+@_q(
+    "j4_anti_join_resume",
+    """SELECT c_custkey FROM customer
+       WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+       ORDER BY c_custkey""",
+)
+def j4(spark, sf):
+    # resumable-scan anti-join (vlm_text_extractor.py:663-670)
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.join(o, "c_custkey", "left_anti").select("c_custkey").orderBy("c_custkey")
+
+
+@_q(
+    "j5_connected_components",
+    """WITH RECURSIVE edges AS (
+         SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS u,
+                         'e' || event_type AS v FROM events
+         WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+       und AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+       reach(node, r) AS (
+         SELECT u, v FROM und UNION SELECT u, u FROM und
+         UNION
+         SELECT reach.node, und.v FROM reach JOIN und ON reach.r = und.u)
+       SELECT node, min(r) AS cluster_id FROM reach GROUP BY node ORDER BY node""",
+)
+def j5(spark, sf):
+    # large-star/small-star CC vs a transitive-closure oracle
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.operators.cluster import (
+        connected_components,
+    )
+
+    ev = _t(spark, sf, "events").where(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    edges = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("u"),
+        F.concat(F.lit("e"), F.col("event_type")).alias("v"),
+    ).distinct()
+    return connected_components(edges).select("node", "cluster_id").orderBy("node")
+
+
+# --- A: aggregations -----------------------------------------------------------
+
+@_q(
+    "a1_distinct_sorted",
+    """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY 1, 2""",
+)
+def a1(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        .select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@_q(
+    "a2_grouped_dedup_sources",
+    """SELECT user_id, event_type,
+              string_agg(DISTINCT source, ';' ORDER BY source) AS sources,
+              count(*) AS n, max(event_id) AS max_event_id
+       FROM (SELECT *, CASE WHEN value < 50 THEN 'meta'
+                            WHEN value < 150 THEN 'ul.authors'
+                            ELSE 'both' END AS source FROM events)
+       GROUP BY user_id, event_type ORDER BY user_id, event_type""",
+)
+def a2(spark, sf):
+    # grouped dedup w/ source-set union (parse_landing_page_html.py:188-228)
+    ev = _t(spark, sf, "events").withColumn(
+        "source",
+        F.when(F.col("value") < 50, "meta")
+        .when(F.col("value") < 150, "ul.authors")
+        .otherwise("both"),
+    )
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("source")), ";").alias("sources"),
+            F.count("*").alias("n"),
+            F.max("event_id").alias("max_event_id"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+@_q(
+    "a3_a5_flags_per_key",
+    """SELECT user_id,
+              sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+              sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+              sum(CASE WHEN event_type = 'error' AND value > 100 THEN 1 ELSE 0 END) AS n_error_high,
+              bool_and(value < 1000) AS all_small,
+              bool_or(value > 150) AS any_big
+       FROM events GROUP BY user_id ORDER BY user_id""",
+)
+def a3(spark, sf):
+    # grouped conditional counts + all/any flags (get_stats.py:210-249)
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_error"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n_purchase"),
+            F.sum(
+                F.when((F.col("event_type") == "error") & (F.col("value") > 100), 1).otherwise(0)
+            ).alias("n_error_high"),
+            F.bool_and(F.col("value") < 1000).alias("all_small"),
+            F.bool_or(F.col("value") > 150).alias("any_big"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@_q(
+    "a4_grouped_numeric_stats",
+    """SELECT event_type, round(avg(value), 2) AS avg_v,
+              round(median(value), 2) AS median_v,
+              round(min(value), 2) AS min_v, round(max(value), 2) AS max_v
+       FROM events GROUP BY event_type ORDER BY event_type""",
+)
+def a4(spark, sf):
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.avg("value"), 2).alias("avg_v"),
+            F.round(F.median("value"), 2).alias("median_v"),
+            F.round(F.min("value"), 2).alias("min_v"),
+            F.round(F.max("value"), 2).alias("max_v"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_q(
+    "a6_global_conditional_pct",
+    """SELECT count(*) AS n,
+              sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+              sum(CASE WHEN value > 180 THEN 1 ELSE 0 END) AS n_high,
+              sum(CASE WHEN event_type = 'error' AND value > 180 THEN 1 ELSE 0 END) AS n_error_high,
+              round(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 100.0 / count(*), 2) AS pct_error,
+              round(sum(CASE WHEN value > 180 THEN 1 ELSE 0 END) * 100.0 / count(*), 2) AS pct_high
+       FROM events""",
+)
+def a6(spark, sf):
+    ev = _t(spark, sf, "events")
+    err = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+    high = F.sum(F.when(F.col("value") > 180, 1).otherwise(0))
+    both = F.sum(F.when((F.col("event_type") == "error") & (F.col("value") > 180), 1).otherwise(0))
+    return ev.agg(
+        F.count("*").alias("n"),
+        err.alias("n_error"),
+        high.alias("n_high"),
+        both.alias("n_error_high"),
+        F.round(err * 100.0 / F.count("*"), 2).alias("pct_error"),
+        F.round(high * 100.0 / F.count("*"), 2).alias("pct_high"),
+    )
+
+
+@_q(
+    "a7_global_score_stats",
+    """SELECT round(avg(l_quantity), 4) AS mean_q,
+              round(median(l_quantity), 4) AS median_q,
+              round(min(l_quantity), 4) AS min_q, round(max(l_quantity), 4) AS max_q,
+              round(stddev_samp(l_quantity), 4) AS stdev_q
+       FROM lineitem""",
+)
+def a7(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.agg(
+        F.round(F.avg("l_quantity"), 4).alias("mean_q"),
+        F.round(F.median("l_quantity"), 4).alias("median_q"),
+        F.round(F.min("l_quantity"), 4).alias("min_q"),
+        F.round(F.max("l_quantity"), 4).alias("max_q"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("stdev_q"),
+    )
+
+
+@_q(
+    "a9_count_distinct",
+    """SELECT s_nationkey, count(DISTINCT s_name) AS n_suppliers
+       FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
+)
+def a9(spark, sf):
+    return (
+        _t(spark, sf, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count_distinct("s_name").alias("n_suppliers"))
+        .orderBy("s_nationkey")
+    )
+
+
+@_q(
+    "a10_grouping_sets_rollup",
+    """SELECT coalesce(l_returnflag, 'ALL') AS flag, count(*) AS n,
+              round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2)::DOUBLE AS sum_qty
+       FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), ())
+       ORDER BY flag""",
+)
+def a10(spark, sf):
+    # two-granularity rollup in one pass (get_stats.py's two outputs fused)
+    li = _t(spark, sf, "lineitem")
+    li.createOrReplaceTempView("_li_gs")
+    return spark.sql(
+        """SELECT coalesce(l_returnflag, 'ALL') AS flag, count(*) AS n,
+                  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty
+           FROM _li_gs GROUP BY GROUPING SETS ((l_returnflag), ())
+           ORDER BY flag"""
+    )
+
+
+# --- W: windows -----------------------------------------------------------------
+
+@_q(
+    "w2_last_nonnull_carry",
+    """SELECT event_id,
+              last_value(signup_id IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_id
+       FROM (SELECT *, CASE WHEN event_type = 'signup' THEN event_id END AS signup_id
+             FROM events)
+       ORDER BY event_id""",
+)
+def w2(spark, sf):
+    # positional pairing: "last non-null before me" (parse_landing_page_html.py:54-81)
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf, "events").withColumn(
+        "signup_id", F.when(F.col("event_type") == "signup", F.col("event_id"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn("last_signup_id", F.last("signup_id", ignorenulls=True).over(w))
+        .select("event_id", "last_signup_id")
+        .orderBy("event_id")
+    )
+
+
+@_q(
+    "w3_global_topk",
+    """SELECT event_id, value FROM events ORDER BY value DESC, event_id LIMIT 100""",
+)
+def w3(spark, sf):
+    return (
+        _t(spark, sf, "events")
+        .orderBy(F.col("value").desc(), F.col("event_id"))
+        .select("event_id", "value")
+        .limit(100)
+    )
+
+
+# --- O: sorts / limits / samples -------------------------------------------------
+
+@_q(
+    "o3_array_max",
+    """SELECT vec_id,
+              round(CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE), 4)
+                AS max_abs
+       FROM embeddings ORDER BY vec_id""",
+)
+def o3(spark, sf):
+    # max-over-array (check:230-235 analogue) via higher-order functions
+    return (
+        _t(spark, sf, "embeddings")
+        .select(
+            "vec_id",
+            F.round(
+                F.array_max(F.transform("embedding", lambda x: F.abs(x))).cast("double"), 4
+            ).alias("max_abs"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@_q(
+    "o5_deterministic_sample",
+    """SELECT event_id FROM events ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+       LIMIT 50""",
+)
+def o5(spark, sf):
+    # exact-n pseudorandom sample with an engine-portable key (sample.py:5-14)
+    return (
+        _t(spark, sf, "events")
+        .orderBy(F.md5(F.col("event_id").cast("string")), F.col("event_id"))
+        .select("event_id")
+        .limit(50)
+    )
+
+
+# --- U: set operations ------------------------------------------------------------
+
+@_q(
+    "u1_union_distinct",
+    """SELECT c_nationkey AS nationkey FROM customer
+       UNION SELECT s_nationkey FROM supplier ORDER BY nationkey""",
+)
+def u1(spark, sf):
+    c = _t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct().orderBy("nationkey")
+
+
+@_q(
+    "u3_except",
+    """SELECT DISTINCT event_type FROM events
+       EXCEPT SELECT DISTINCT event_type FROM events WHERE user_id = 1
+       ORDER BY event_type""",
+)
+def u3(spark, sf):
+    ev = _t(spark, sf, "events")
+    a = ev.select("event_type").distinct()
+    b = ev.where(F.col("user_id") == 1).select("event_type").distinct()
+    return a.subtract(b).orderBy("event_type")  # EXCEPT (distinct)
+
+
+# --- F: scalar functions ------------------------------------------------------------
+
+@_q(
+    "f3_suffix_strip",
+    """SELECT p_partkey, CASE
+         WHEN ends_with(oai, '/journal/index.php/index/oai')
+           THEN left(oai, length(oai) - length('/journal/index.php/index/oai'))
+         WHEN ends_with(oai, '/index.php/index/oai')
+           THEN left(oai, length(oai) - length('/index.php/index/oai'))
+         WHEN ends_with(oai, '/oai') THEN left(oai, length(oai) - 4)
+         ELSE oai END AS base_url
+       FROM (SELECT p_partkey,
+               'https://journals.example.org/index.php/j' || CAST(p_partkey AS VARCHAR) ||
+               CASE p_partkey % 4 WHEN 0 THEN '/journal/index.php/index/oai'
+                 WHEN 1 THEN '/index.php/index/oai' WHEN 2 THEN '/oai' ELSE '' END AS oai
+             FROM part) ORDER BY p_partkey""",
+)
+def f3(spark, sf):
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.functions.native import (
+        strip_oai_suffix,
+    )
+
+    p = _t(spark, sf, "part").withColumn(
+        "oai",
+        F.concat(
+            F.lit("https://journals.example.org/index.php/j"),
+            F.col("p_partkey").cast("string"),
+            F.when(F.col("p_partkey") % 4 == 0, "/journal/index.php/index/oai")
+            .when(F.col("p_partkey") % 4 == 1, "/index.php/index/oai")
+            .when(F.col("p_partkey") % 4 == 2, "/oai")
+            .otherwise(""),
+        ),
+    )
+    return p.select(
+        "p_partkey", strip_oai_suffix(F.col("oai")).alias("base_url")
+    ).orderBy("p_partkey")
+
+
+@_q(
+    "f4_url_key",
+    """SELECT s_suppkey, repaired,
+              proto || '|' || host || '|' || CAST(port AS VARCHAR) AS url_key
+       FROM (SELECT s_suppkey, repaired,
+               regexp_extract(repaired, '^([a-z]+)://', 1) AS proto,
+               regexp_extract(repaired, '^[a-z]+://([^/:]+)', 1) AS host,
+               CASE WHEN regexp_extract(repaired, '^[a-z]+://[^/:]+:([0-9]+)', 1) <> ''
+                    THEN CAST(regexp_extract(repaired, '^[a-z]+://[^/:]+:([0-9]+)', 1) AS INT)
+                    WHEN starts_with(repaired, 'https') THEN 443 ELSE 80 END AS port
+             FROM (SELECT s_suppkey, CASE WHEN starts_with(raw, 'http') THEN raw
+                     ELSE 'http://' || raw END AS repaired
+                   FROM (SELECT s_suppkey, CASE s_suppkey % 3
+                           WHEN 0 THEN 'journals.example.org/a'
+                           WHEN 1 THEN 'https://journals.example.org:8443/b'
+                           ELSE 'http://journals.example.org/c' END AS raw
+                         FROM supplier)))
+       ORDER BY s_suppkey""",
+)
+def f4(spark, sf):
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.functions.native import (
+        repair_url,
+        url_key,
+    )
+
+    s = _t(spark, sf, "supplier").withColumn(
+        "raw",
+        F.when(F.col("s_suppkey") % 3 == 0, "journals.example.org/a")
+        .when(F.col("s_suppkey") % 3 == 1, "https://journals.example.org:8443/b")
+        .otherwise("http://journals.example.org/c"),
+    )
+    s = s.withColumn("repaired", repair_url(F.col("raw")))
+    return s.select(
+        "s_suppkey", "repaired", url_key(F.col("repaired")).alias("url_key")
+    ).orderBy("s_suppkey")
+
+
+@_q(
+    "f5_f7_doi_ops",
+    """SELECT o_orderkey, cleaned,
+              coalesce(nullif(regexp_extract(cleaned, '^(10\\.[0-9]+)(/.*)?$', 1), ''),
+                       '_unknown_') AS prefix
+       FROM (SELECT o_orderkey,
+               regexp_replace(decorated, '^(https://doi\\.org/|doi:)', '') AS cleaned
+             FROM (SELECT o_orderkey,
+                     CASE o_orderkey % 4
+                       WHEN 0 THEN doi0 WHEN 1 THEN 'https://doi.org/' || doi0
+                       WHEN 2 THEN 'doi:' || doi0 ELSE 'not-a-doi' END AS decorated
+                   FROM (SELECT o_orderkey,
+                           '10.' || CAST(o_custkey % 900 + 100 AS VARCHAR) ||
+                           '/item.' || CAST(o_orderkey AS VARCHAR) AS doi0
+                         FROM orders)))
+       ORDER BY o_orderkey""",
+)
+def f5(spark, sf):
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.functions.native import (
+        clean_doi,
+        doi_prefix_or_unknown,
+    )
+
+    o = _t(spark, sf, "orders").withColumn(
+        "doi0",
+        F.concat(
+            F.lit("10."), (F.col("o_custkey") % 900 + 100).cast("string"),
+            F.lit("/item."), F.col("o_orderkey").cast("string"),
+        ),
+    ).withColumn(
+        "decorated",
+        F.when(F.col("o_orderkey") % 4 == 0, F.col("doi0"))
+        .when(F.col("o_orderkey") % 4 == 1, F.concat(F.lit("https://doi.org/"), F.col("doi0")))
+        .when(F.col("o_orderkey") % 4 == 2, F.concat(F.lit("doi:"), F.col("doi0")))
+        .otherwise(F.lit("not-a-doi")),
+    )
+    o = o.withColumn("cleaned", clean_doi(F.col("decorated")))
+    return o.select(
+        "o_orderkey", "cleaned", doi_prefix_or_unknown(F.col("cleaned")).alias("prefix")
+    ).orderBy("o_orderkey")
+
+
+@_q(
+    "f8_b64_roundtrip",
+    """SELECT s_suppkey, fname,
+              decode(from_base64(translate(fname, '-_', '+/') ||
+                     repeat('=', (4 - length(fname) % 4) % 4))) AS decoded
+       FROM (SELECT s_suppkey,
+               translate(rtrim(to_base64(encode(s_name)), '='), '+/', '-_') AS fname
+             FROM supplier) ORDER BY s_suppkey""",
+)
+def f8(spark, sf):
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.functions.native import (
+        doi_to_filename,
+        filename_to_doi,
+    )
+
+    s = _t(spark, sf, "supplier").withColumn("fname", doi_to_filename(F.col("s_name")))
+    return s.select(
+        "s_suppkey", "fname", filename_to_doi(F.col("fname")).alias("decoded")
+    ).orderBy("s_suppkey")
+
+
+@_q(
+    "f9_timestamp_format",
+    """SELECT event_id, strftime(ts, '%Y%m%d%H%M%S') AS compact_ts
+       FROM events ORDER BY event_id""",
+)
+def f9(spark, sf):
+    return (
+        _t(spark, sf, "events")
+        .select("event_id", F.date_format("ts", "yyyyMMddHHmmss").alias("compact_ts"))
+        .orderBy("event_id")
+    )
+
+
+@_q(
+    "f12_case_insensitive_match",
+    """SELECT count(*) AS n_match FROM customer
+       WHERE lower(c_mktsegment) = 'building'""",
+)
+def f12(spark, sf):
+    c = _t(spark, sf, "customer")
+    return c.where(F.lower("c_mktsegment") == "building").agg(
+        F.count("*").alias("n_match")
+    )
+
+
+@_q(
+    "sim_jw_levenshtein",
+    """SELECT c_custkey,
+              round(jaro_winkler_similarity(a, b), 3) AS jw,
+              levenshtein(a, b) AS lev
+       FROM (SELECT c_custkey, lower(c_name) AS a,
+                    reverse(lower(c_name)) AS b FROM customer)
+       ORDER BY c_custkey LIMIT 500""",
+)
+def sim_jw(spark, sf):
+    # cross-engine check of the Jaro-Winkler pandas UDF + native levenshtein
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.functions.udfs import (
+        jaro_winkler_udf,
+    )
+
+    c = _t(spark, sf, "customer").select(
+        "c_custkey",
+        F.lower("c_name").alias("a"),
+        F.reverse(F.lower("c_name")).alias("b"),
+    )
+    return (
+        c.select(
+            "c_custkey",
+            F.round(jaro_winkler_udf(F.col("a"), F.col("b")) / 100.0, 3).alias("jw"),
+            F.levenshtein("a", "b").alias("lev"),
+        )
+        .orderBy("c_custkey")
+        .limit(500)
+    )
+
+
+# --- T: training-data / text operators ------------------------------------------
+
+@_q(
+    "t1_text_quality",
+    """SELECT doc_id, length(text) AS n_chars,
+              len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+              round(CAST(length(replace(text, ' ', '')) AS DOUBLE) /
+                    len(string_split_regex(trim(text), '\\s+')), 3) AS mean_tok_len,
+              round(CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                    x -> x IN ('the', 'a'))) AS DOUBLE) /
+                    len(string_split_regex(trim(text), '\\s+')), 3) AS stopword_ratio
+       FROM documents WHERE length(text) > 0 ORDER BY doc_id""",
+)
+def t1(spark, sf):
+    d = _t(spark, sf, "documents").where(F.length("text") > 0)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_tokens = F.size(toks)
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / n_tokens, 3,
+        ).alias("mean_tok_len"),
+        F.round(
+            F.size(F.filter(toks, lambda x: x.isin("the", "a"))).cast("double") / n_tokens, 3
+        ).alias("stopword_ratio"),
+    ).orderBy("doc_id")
+
+
+@_q(
+    "t2_lang_id_heuristic",
+    """SELECT doc_id, CASE WHEN en >= es AND en >= de THEN 'en'
+                           WHEN es >= de THEN 'es' ELSE 'de' END AS lang_guess,
+              en, es, de
+       FROM (SELECT doc_id,
+               len(list_filter(toks, x -> x IN ('the', 'a', 'of'))) AS en,
+               len(list_filter(toks, x -> x IN ('el', 'la', 'de'))) AS es,
+               len(list_filter(toks, x -> x IN ('der', 'und', 'das'))) AS de
+             FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+                   FROM documents)) ORDER BY doc_id""",
+)
+def t2(spark, sf):
+    d = _t(spark, sf, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    hits = lambda *ws: F.size(F.filter(toks, lambda x: x.isin(*ws)))  # noqa: E731
+    d = d.select(
+        "doc_id",
+        hits("the", "a", "of").alias("en"),
+        hits("el", "la", "de").alias("es"),
+        hits("der", "und", "das").alias("de"),
+    )
+    return d.select(
+        "doc_id",
+        F.when((F.col("en") >= F.col("es")) & (F.col("en") >= F.col("de")), "en")
+        .when(F.col("es") >= F.col("de"), "es")
+        .otherwise("de")
+        .alias("lang_guess"),
+        "en", "es", "de",
+    ).orderBy("doc_id")
+
+
+@_q(
+    "t3_token_count",
+    """SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+              len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_ish_tokens
+       FROM documents ORDER BY doc_id""",
+)
+def t3(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+        .alias("bpe_ish_tokens"),
+    ).orderBy("doc_id")
+
+
+@_q(
+    "t4_fingerprint",
+    """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+       FROM documents ORDER BY doc_id""",
+)
+def t4(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")).alias("fp"),
+    ).orderBy("doc_id")
+
+
+@_q(
+    "t5_dedup_exact",
+    """SELECT key, min(doc_id) AS keeper, count(*) AS n_copies
+       FROM (SELECT doc_id, substr(text, 1, 40) AS key FROM documents)
+       GROUP BY key HAVING count(*) > 1 ORDER BY key""",
+)
+def t5(spark, sf):
+    # exact dedup: hash-groupBy on content key, keep min id
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.substring("text", 1, 40).alias("key")
+    )
+    return (
+        d.groupBy("key")
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies"))
+        .where(F.col("n_copies") > 1)
+        .orderBy("key")
+    )
+
+
+@_q(
+    "t6_embedding_topk",
+    """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+       SELECT e.vec_id,
+              round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                           CAST(q.embedding AS DOUBLE[])), 3) AS cos_sim
+       FROM embeddings e, q WHERE e.vec_id <> 0
+       ORDER BY cos_sim DESC, e.vec_id LIMIT 10""",
+)
+def t6(spark, sf):
+    # brute-force cosine top-k (the ANN baseline); query vector broadcast as literal
+    emb = _t(spark, sf, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), qlit, lambda x, y: x.cast("double") * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    return (
+        emb.where(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.round(dot / (nrm(F.col("embedding")) * nrm(qlit)), 3).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+@_q(
+    "t7_hourly_rollup",
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour_bucket,
+              event_type, count(*) AS n,
+              round(sum(CAST(value AS DECIMAL(18,2))), 2)::DOUBLE AS sum_value
+       FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type""",
+)
+def t7(spark, sf):
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.concat(
+                F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH"),
+                F.lit(":00"),
+            ).alias("hour_bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double").alias("sum_value"),
+        )
+        .orderBy("hour_bucket", "event_type")
+    )
+
+
+# --- rows-only queries (pandas-UDF operators; no SQL-expressible oracle) ---------
+
+@_q("x1_reconcile_flagship")
+def x1(spark, sf):
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.plans.reconcile import (
+        reconcile,
+    )
+
+    docs = wrap_documents_as_spans(_t(spark, sf, "documents"))
+    res = reconcile(docs, with_clusters=False, max_block_size=500)
+    return res.scored.select(
+        "left_id", "right_id", "blocking_key", "n_shared_keys",
+        "title_indel", "title_jw", "title_tsr", "match_prob", "is_match_pred",
+    ).orderBy("left_id", "right_id")
+
+
+@_q("x2_minhash_lsh_pairs")
+def x2(spark, sf):
+    # MinHash-LSH near-dup candidate pairs over the documents table
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.functions.udfs import (
+        make_minhash_bands_udf,
+    )
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.lower(F.trim(F.col("text"))).alias("norm")
+    )
+    bands = make_minhash_bands_udf(num_perm=64, bands=16, shingle_k=3)
+    k = d.select("doc_id", F.explode(bands(F.col("norm"))).alias("band"))
+    a = k.alias("a")
+    b = k.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("left_id"), F.col("b.doc_id").alias("right_id"))
+        .distinct()
+        .orderBy("left_id", "right_id")
+    )
+
+
+@_q("x3_simhash_codes")
+def x3(spark, sf):
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.functions.udfs import (
+        simhash_udf,
+    )
+
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id", simhash_udf(F.lower(F.col("text"))).alias("simhash64")
+    ).orderBy("doc_id")
+
+
+@_q("x4_ann_lsh_topk")
+def x4(spark, sf):
+    # LSH-bucketed ANN: random-hyperplane signs -> bucket join -> exact cosine
+    # within bucket (the scale path; t6 is the brute-force baseline)
+    emb = _t(spark, sf, "embeddings")
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    planes = rng.randn(8, 64).tolist()  # 8 hyperplanes -> 256 buckets
+    sign_bits = [
+        (F.aggregate(
+            F.zip_with(F.col("embedding"), F.array(*[F.lit(float(v)) for v in p]),
+                       lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda a, x: a + x,
+        ) > 0).cast("int").alias(f"b{i}")
+        for i, p in enumerate(planes)
+    ]
+    withb = emb.select("vec_id", "embedding", *sign_bits)
+    bucket = F.concat_ws("", *[F.col(f"b{i}").cast("string") for i in range(8)])
+    withb = withb.select("vec_id", "embedding", bucket.alias("bucket"))
+    a = withb.alias("a")
+    b = withb.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.embedding"), F.col("b.embedding"),
+                   lambda x, y: x.cast("double") * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    pairs = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("left_id"),
+            F.col("b.vec_id").alias("right_id"),
+            F.round(dot / (nrm(F.col("a.embedding")) * nrm(F.col("b.embedding"))), 3)
+            .alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("left_id").orderBy(F.col("cos_sim").desc(), F.col("right_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("left_id", "right_id", "cos_sim")
+        .orderBy("left_id", "right_id")
+    )
+
+
+@_q("x5_multimodal_media_inventory")
+def x5(spark, sf):
+    # media-span plumbing: schema/partitioning/batch shape are real; decode
+    # itself is stubbed (operators.multimodal) since no image libs exist here
+    docs = wrap_documents_as_spans(_t(spark, sf, "documents"))
+    media = docs.select(
+        "doc_id",
+        F.explode(F.filter("spans", lambda s: s["kind"] == F.lit("media"))).alias("m"),
+    )
+    return media.select(
+        "doc_id", F.col("m.media_ref").alias("media_ref"), F.col("m.offset").alias("offset")
+    ).orderBy("doc_id", "offset")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_Q)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_O)

@@ -1,0 +1,107 @@
+"""Local replica of the driver's correctness gate: run every queries() entry
+on Spark and its oracle_sql() on DuckDB over the same sf dir; compare row
+count, column names, and order-insensitive stringified values.
+
+Usage: python tools/check_oracle_parity.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+from decimal import Decimal
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.session import (  # noqa: E402
+    get_spark,
+)
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm_val(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{v:.6g}"
+    if isinstance(v, int):
+        return str(v)
+    return str(v)
+
+
+def rows_to_multiset(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(norm_val(r[i]) for i in idx) for r in rows)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(app_name="oracle_parity", cores=8, shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        if name not in oracles:
+            try:
+                df = fn(spark, sf_dir)
+                n = df.count()
+                print(f"{name:32s} ROWS-ONLY ok ({n} rows)")
+            except Exception as e:
+                print(f"{name:32s} ROWS-ONLY FAILED: {e}")
+                failures.append(name)
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"{name:32s} SPARK FAILED: {str(e)[:200]}")
+            failures.append(name)
+            continue
+        try:
+            res = con.sql(oracles[name])
+            dcols = res.columns
+            drows = res.fetchall()
+        except Exception as e:
+            print(f"{name:32s} DUCKDB FAILED: {str(e)[:200]}")
+            failures.append(name)
+            continue
+        ok = True
+        if sorted(scols) != sorted(dcols):
+            print(f"{name:32s} SCHEMA MISMATCH spark={sorted(scols)} duck={sorted(dcols)}")
+            ok = False
+        elif len(srows) != len(drows):
+            print(f"{name:32s} COUNT MISMATCH spark={len(srows)} duck={len(drows)}")
+            ok = False
+        else:
+            ms, md = rows_to_multiset(scols, srows), rows_to_multiset(dcols, drows)
+            if ms != md:
+                diffs = [(a, b) for a, b in zip(ms, md) if a != b][:3]
+                print(f"{name:32s} VALUE MISMATCH ({sum(1 for a, b in zip(ms, md) if a != b)} rows) e.g. {diffs}")
+                ok = False
+        if ok:
+            print(f"{name:32s} OK ({len(srows)} rows)")
+        else:
+            failures.append(name)
+    print("\nFAILURES:", failures if failures else "none")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
