@@ -51,6 +51,47 @@ def token_set_ratio_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     )
 
 
+_SIM_STRUCT = T.StructType(
+    [
+        T.StructField("indel", T.DoubleType()),
+        T.StructField("jw", T.DoubleType()),
+        T.StructField("tsr", T.DoubleType()),
+    ]
+)
+
+
+@F.pandas_udf(_SIM_STRUCT)
+def sim_features_udf(a: pd.Series, b: pd.Series) -> pd.DataFrame:
+    """All three similarity features in ONE Arrow crossing (the scoring hot
+    path serializes each title pair once instead of three times).
+
+    Two batch-level optimizations for blocked candidate pairs:
+    - equal-string fast path (identical normalized titles are the most
+      common case inside ISSN/band blocks),
+    - per-batch memo: band families repeat the same (a, b) title pair many
+      times across different doc pairs — score each distinct pair once."""
+    n = len(a)
+    indel = [0.0] * n
+    jw = [0.0] * n
+    tsr = [0.0] * n
+    memo: dict[tuple, tuple] = {}
+    for i, (x, y) in enumerate(zip(a, b)):
+        if x == y:
+            indel[i] = jw[i] = tsr[i] = 100.0
+            continue
+        key = (x, y)
+        hit = memo.get(key)
+        if hit is None:
+            hit = (
+                kernels.indel_ratio(x, y),
+                kernels.jaro_winkler(x, y),
+                kernels.token_set_ratio(x, y),
+            )
+            memo[key] = hit
+        indel[i], jw[i], tsr[i] = hit
+    return pd.DataFrame({"indel": indel, "jw": jw, "tsr": tsr}, index=a.index)
+
+
 def make_minhash_bands_udf(num_perm: int = 64, bands: int = 16, shingle_k: int = 3, seed: int = 42):
     """MinHash LSH band keys over normalized text (north_rule title blocking).
 

@@ -1,0 +1,190 @@
+"""Deduplication operator family for the training-data pipeline.
+
+Five strategies over a (id, text) corpus — each returns a DataFrame of
+duplicate groups or near-dup pairs. At 100 TB the shape that matters is:
+keys computed locally (map-only), ONE shuffle per strategy (the groupBy or
+band self-join), hot band keys capped.
+
+- exact:          hash-groupBy on the full normalized text
+- minhash_lsh:    shingle -> minhash -> band -> bucket self-join
+- simhash:        64-bit simhash, pairs within hamming radius via 4-way
+                  block rotation (Manku et al., WWW'07 table approach)
+- ngram_jaccard:  character n-gram Jaccard verify on LSH candidates
+- embedding:      cosine near-dup over an embedding column
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.udfs import make_minhash_bands_udf, simhash_udf
+
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of exact duplicates on normalized text; keeper = min id."""
+    key = F.md5(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "))
+    return (
+        df.select(F.col(id_col).alias("id"), key.alias("content_key"))
+        .groupBy("content_key")
+        .agg(F.min("id").alias("keeper"), F.count("*").alias("n_copies"),
+             F.collect_list("id").alias("members"))
+        .where(F.col("n_copies") > 1)
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    max_band_size: int = 10_000,
+) -> DataFrame:
+    """Near-dup candidate pairs via MinHash LSH.
+
+    Oversized band buckets (stop-phrase shingles) are dropped with the same
+    cap discipline as blocking.pairs — a degenerate bucket adds quadratic
+    pairs and no signal."""
+    bands_udf = make_minhash_bands_udf(num_perm=num_perm, bands=bands, shingle_k=shingle_k)
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    keys = df.select(F.col(id_col).alias("id"), F.explode(bands_udf(norm)).alias("band"))
+    sizes = keys.groupBy("band").count()
+    keys = keys.join(
+        F.broadcast(sizes.where(F.col("count") <= max_band_size).select("band")),
+        "band", "inner",
+    )
+    a, b = keys.alias("a"), keys.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("left_id"), F.col("b.id").alias("right_id"))
+        .distinct()
+    )
+
+
+def simhash_codes(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"),
+        simhash_udf(F.lower(F.col(text_col))).alias("simhash"),
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Hamming-radius pairs: split the 64-bit code into 4 x 16-bit blocks;
+    any pair within hamming distance 3 agrees exactly on >=1 block
+    (pigeonhole), so block-equality buckets are a complete candidate set."""
+    codes = simhash_codes(df, id_col, text_col)
+    blocks = codes.select(
+        "id", "simhash",
+        *[
+            F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(f"blk{i}")
+            for i in range(4)
+        ],
+    )
+    parts = []
+    for i in range(4):
+        k = blocks.select(
+            "id", "simhash", F.concat(F.lit(f"{i}:"), F.col(f"blk{i}").cast("string")).alias("bk")
+        )
+        a, b = k.alias("a"), k.alias("b")
+        parts.append(
+            a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")))
+            .select(
+                F.col("a.id").alias("left_id"),
+                F.col("b.id").alias("right_id"),
+                F.col("a.simhash").alias("sh_l"),
+                F.col("b.simhash").alias("sh_r"),
+            )
+        )
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.unionByName(p)
+    ham = F.bit_count(F.col("sh_l").bitwiseXOR(F.col("sh_r")))
+    return (
+        cand.distinct()
+        .where(ham <= max_hamming)
+        .select("left_id", "right_id", ham.alias("hamming"))
+    )
+
+
+@F.pandas_udf(T.DoubleType())
+def _ngram_jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    from ..functions.hashing import char_ngrams, jaccard
+
+    return pd.Series(
+        [jaccard(set(char_ngrams(x or "", 3)), set(char_ngrams(y or "", 3))) for x, y in zip(a, b)],
+        index=a.index, dtype="float64",
+    )
+
+
+def ngram_jaccard_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    **lsh_kwargs,
+) -> DataFrame:
+    """LSH candidates verified by exact character-3-gram Jaccard >= threshold.
+    The classic block-then-verify shape: candidates are the only shuffle."""
+    cand = minhash_lsh_pairs(df, id_col, text_col, **lsh_kwargs)
+    texts = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
+    j = (
+        cand.join(texts.withColumnRenamed("id", "left_id").withColumnRenamed("txt", "lt"), "left_id")
+        .join(texts.withColumnRenamed("id", "right_id").withColumnRenamed("txt", "rt"), "right_id")
+        .withColumn("jaccard", F.round(_ngram_jaccard_udf(F.col("lt"), F.col("rt")), 4))
+    )
+    return j.where(F.col("jaccard") >= threshold).select("left_id", "right_id", "jaccard")
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Cosine near-dups via random-hyperplane LSH buckets + exact verify.
+    Brute force is O(n^2); the bucket join keeps it near-linear for tight
+    thresholds (near-dup vectors almost always share all sign bits)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    dim = len(df.select(vec_col).first()[0])
+    planes = rng.randn(n_planes, dim).tolist()
+    bits = [
+        (
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(v)) for v in p]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0), lambda a, x: a + x,
+            ) > 0
+        ).cast("int").cast("string")
+        for p in planes
+    ]
+    keyed = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        F.concat_ws("", *bits).alias("bucket"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x.cast("double") * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .withColumn("cos_sim", F.round(dot / (nrm(F.col("a.v")) * nrm(F.col("b.v"))), 6))
+        .where(F.col("cos_sim") >= threshold)
+        .select(F.col("a.id").alias("left_id"), F.col("b.id").alias("right_id"), "cos_sim")
+    )

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.udfs import indel_ratio_udf, jaro_winkler_udf, token_set_ratio_udf
+from ..functions.udfs import sim_features_udf
 
 # calibrated logistic coefficients (offline fit on synth labeled pairs, seed 42)
 W_BIAS = -14.0
@@ -52,11 +52,13 @@ def score_pairs(pairs: DataFrame, records: DataFrame) -> DataFrame:
     )
     lt = F.coalesce(F.col("l_norm_title"), F.lit(""))
     rt = F.coalesce(F.col("r_norm_title"), F.lit(""))
+    # one Arrow crossing computes all three similarity features
+    df = df.withColumn("_sim", sim_features_udf(lt, rt))
     df = df.withColumns(
         {
-            "title_indel": F.round(indel_ratio_udf(lt, rt), 2),
-            "title_jw": F.round(jaro_winkler_udf(lt, rt), 2),
-            "title_tsr": F.round(token_set_ratio_udf(lt, rt), 2),
+            "title_indel": F.round(F.col("_sim.indel"), 2),
+            "title_jw": F.round(F.col("_sim.jw"), 2),
+            "title_tsr": F.round(F.col("_sim.tsr"), 2),
             # null-safe: a null on either side must yield FALSE, not SQL NULL
             # (NULL would propagate through the logistic and void the row)
             "issn_exact": (
@@ -82,7 +84,9 @@ def score_pairs(pairs: DataFrame, records: DataFrame) -> DataFrame:
         + F.lit(W_DOMAIN) * F.col("domain_match").cast("double")
         + F.lit(W_COUNTRY) * F.col("country_match").cast("double")
     )
-    df = df.withColumn("match_prob", F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6))
+    df = df.drop("_sim").withColumn(
+        "match_prob", F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    )
     return df.withColumn(
         "is_match_pred",
         F.col("issn_exact") | (F.col("match_prob") >= F.lit(DECISION_THRESHOLD)),

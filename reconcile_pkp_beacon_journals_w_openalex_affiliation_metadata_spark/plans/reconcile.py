@@ -48,9 +48,12 @@ def reconcile(
         max_block_size=max_block_size,
     )
     scored = scoring.score_pairs(cand, records)
-    clusters = (
-        cluster.connected_components(scoring.matched_edges(scored))
-        if with_clusters
-        else None
-    )
+    if with_clusters:
+        # clustering iterates over the matched edges; persist the scored
+        # table so the (expensive) blocking+scoring DAG is computed once
+        # (in production this is the committed catalog table instead)
+        scored = scored.persist()
+        clusters = cluster.connected_components(scoring.matched_edges(scored))
+    else:
+        clusters = None
     return ReconcileResult(records, keys, cand, scored, clusters)

@@ -171,11 +171,15 @@ def generate(
     titles_seen: set[str] = set()
     journals = []
     for j in range(n_journals):
-        while True:
+        # the combinatorial title space is ~1800; beyond a few draws append a
+        # deterministic volume token so generation stays O(n) at any scale
+        for _attempt in range(5):
             title = f"{rng.choice(_ADJ)} Journal of {rng.choice(_NOUN)}{rng.choice(_SUFFIX)}"
             if title not in titles_seen:
-                titles_seen.add(title)
                 break
+        else:
+            title = f"{title}, Series {j}"
+        titles_seen.add(title)
         pub, domain, country = (
             _HOT_PUBLISHER if rng.random() < hot_share else rng.choice(_PUBLISHERS)
         )
@@ -256,10 +260,18 @@ def generate(
                 }
             )
 
-    # negative labeled pairs: same hot-publisher domain, different journals
+    # negative labeled pairs: same hot-publisher domain, different journals.
+    # Guard: skip near-identical titles — a subset/high-similarity title pair
+    # is genuinely ambiguous and would mislabel the ground truth.
+    from .functions.kernels import indel_ratio, normalize_text
+
     hot = [jr for jr in journals if jr["domain"] == _HOT_PUBLISHER[1]]
     for _ in range(min(len(hot) * 2, n_journals)):
         a, b = rng.sample(hot, 2)
+        na, nb = normalize_text(a["title"]), normalize_text(b["title"])
+        ta, tb = set(na.split()), set(nb.split())
+        if ta <= tb or tb <= ta or indel_ratio(na, nb) >= 70.0:
+            continue
         out.labeled_pairs.append(
             {
                 "left_id": f"pkp:{a['journal_id']}",

@@ -1,0 +1,69 @@
+"""Resume tests (SURVEY.md §5.6): committed-checkpoint restart produces
+identical output; uncommitted stages recompute; anti-join resume."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.sources.catalog import (
+    Catalog,
+    run_stage,
+)
+
+
+def test_commit_and_read_roundtrip(spark, tmp_path):
+    cat = Catalog(str(tmp_path / "cat"))
+    df = spark.range(100).withColumn("x", F.col("id") * 2)
+    cat.write_committed(df, "t1")
+    got = cat.read_committed(spark, "t1")
+    assert got.count() == 100
+    assert {r["id"]: r["x"] for r in got.collect()} == {i: 2 * i for i in range(100)}
+
+
+def test_uncommitted_is_invisible(spark, tmp_path):
+    cat = Catalog(str(tmp_path / "cat"))
+    # simulate a crash mid-write: data dir exists, no _COMMIT marker
+    ddir = tmp_path / "cat" / "t2" / "data"
+    os.makedirs(ddir)
+    spark.range(5).write.mode("overwrite").parquet(str(ddir))
+    assert cat.read_committed(spark, "t2") is None
+
+
+def test_resume_filter_anti_join(spark, tmp_path):
+    cat = Catalog(str(tmp_path / "cat"))
+    done = spark.range(50).select(F.col("id").alias("doc_id"))
+    cat.write_committed(done, "stage_out")
+    inputs = spark.range(80).select(F.col("id").alias("doc_id"))
+    todo = cat.resume_filter(spark, inputs, "stage_out", "doc_id")
+    assert sorted(r["doc_id"] for r in todo.collect()) == list(range(50, 80))
+
+
+def test_run_stage_skips_committed_and_restart_is_identical(spark, tmp_path):
+    cat = Catalog(str(tmp_path / "cat"))
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(10).withColumn("y", F.col("id") + 1)
+
+    first = run_stage(cat, spark, "s1", build)
+    again = run_stage(cat, spark, "s1", build)  # restart: must not rebuild
+    assert calls["n"] == 1
+    assert sorted(map(tuple, first.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_run_stage_recomputes_after_crash(spark, tmp_path):
+    cat = Catalog(str(tmp_path / "cat"))
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(3)
+
+    run_stage(cat, spark, "s2", build)
+    # crash simulation: remove the marker but keep data
+    os.remove(cat._marker("s2"))
+    run_stage(cat, spark, "s2", build)
+    assert calls["n"] == 2

@@ -1,0 +1,114 @@
+"""Tests for the dedup operator family, similarity search, and the
+multimodal span plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.operators import (
+    dedup,
+    multimodal,
+    similarity_search as sim,
+)
+
+
+def _texts(spark):
+    rows = [
+        ("d1", "the quick brown fox jumps over the lazy dog tonight"),
+        ("d2", "The  quick brown FOX jumps over the lazy dog tonight"),  # ws/case only
+        ("d3", "the quick brown fox jumps over the lazy cat tonight"),   # near-dup
+        ("d4", "completely different content about spark shuffles and joins"),
+        ("d5", "the quick brown fox jumps over the lazy dog tonight"),   # exact dup of d1
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_exact_dup_groups(spark):
+    got = dedup.exact_dup_groups(_texts(spark)).collect()
+    assert len(got) == 1
+    g = got[0]
+    assert g["keeper"] == "d1"
+    assert g["n_copies"] == 3  # d1, d2 (ws/case-normalized), d5
+    assert sorted(g["members"]) == ["d1", "d2", "d5"]
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    pairs = {
+        (r["left_id"], r["right_id"])
+        for r in dedup.minhash_lsh_pairs(_texts(spark)).collect()
+    }
+    assert ("d1", "d5") in pairs
+    assert ("d1", "d3") in pairs  # one-token change shares bands
+    assert not any("d4" in p for p in pairs)
+
+
+def test_ngram_jaccard_verify(spark):
+    got = {
+        (r["left_id"], r["right_id"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_dedup(_texts(spark), threshold=0.5).collect()
+    }
+    assert got[("d1", "d5")] == 1.0
+    assert 0.5 <= got[("d1", "d3")] < 1.0
+
+
+def test_simhash_near_pairs(spark):
+    got = {
+        (r["left_id"], r["right_id"]): r["hamming"]
+        for r in dedup.simhash_near_pairs(_texts(spark), max_hamming=10).collect()
+    }
+    assert got[("d1", "d5")] == 0
+    assert ("d1", "d3") in got
+
+
+def _vectors(spark):
+    import math
+
+    rows = []
+    for i in range(40):
+        angle = (i % 8) * math.pi / 16
+        rows.append((i, [math.cos(angle), math.sin(angle), 0.1 * (i % 3), 0.05 * (i % 5)]))
+    return spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+
+def test_brute_force_topk_self_similarity(spark):
+    vecs = _vectors(spark)
+    queries = vecs.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    got = sim.brute_force_topk(vecs, queries, k=5).collect()
+    assert len(got) == 5
+    assert got[0]["vec_id"] == 0 and got[0]["cos_sim"] == 1.0  # itself first
+
+
+def test_ivf_recall_against_brute_force(spark):
+    vecs = _vectors(spark)
+    queries = vecs.where(F.col("vec_id").isin(0, 7)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = sim.brute_force_topk(vecs, queries, k=3).collect()
+    assigned, cents = sim.build_ivf_index(vecs, n_cells=4)
+    approx = sim.ivf_topk(assigned, cents, queries, k=3, n_probe=4).collect()
+    # probing ALL cells must equal brute force exactly
+    key = lambda rs: sorted((r["q_id"], r["vec_id"], r["cos_sim"]) for r in rs)  # noqa: E731
+    assert key(approx) == key(exact)
+
+
+def test_multimodal_attach_preserves_span_sequence(spark, corpus_dfs):
+    docs = corpus_dfs["documents"]
+    out = multimodal.attach_extracted_text(docs)
+    a = docs.select("doc_id", "spans").collect()
+    b = out.select("doc_id", "spans").collect()
+    aa = {r["doc_id"]: [(s["kind"], s["media_ref"], s["offset"]) for s in r["spans"]] for r in a}
+    bb = {r["doc_id"]: [(s["kind"], s["media_ref"], s["offset"]) for s in r["spans"]] for r in b}
+    assert aa == bb  # kind/media_ref/order bit-identical
+    # media spans now carry deterministic extracted text
+    m = out.select(F.explode("spans").alias("s")).where(F.col("s.kind") == "media")
+    texts = [r["s"]["text"] for r in m.collect()]
+    assert texts and all(t.startswith("extracted text ") for t in texts)
+
+
+def test_decode_media_is_stubbed():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"\x89PNG")
