@@ -66,7 +66,10 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 25, checkpoint_each_round: bool = True
+    edges: DataFrame,
+    max_iter: int = 25,
+    checkpoint_each_round: bool = True,
+    rounds_per_check: int = 2,
 ) -> DataFrame:
     """(node, cluster_id) for every node appearing in ``edges``(u, v).
 
@@ -80,14 +83,20 @@ def connected_components(
     )
     e = edges.select("u", "v").where(F.col("u") != F.col("v")).distinct()
     prev = None
-    for _ in range(max_iter):
+    for i in range(max_iter):
         e = _small_star(_large_star(e))
         if checkpoint_each_round:
-            e = e.localCheckpoint(eager=True)
-        cur = _checksum(e)
-        if cur == prev:
-            break
-        prev = cur
+            # lazy: the next action materializes the checkpoint, so a round
+            # costs ONE job; convergence is only tested every
+            # ``rounds_per_check`` rounds (at most that many extra rounds,
+            # but half the driver round-trips — fixed job latency dominates
+            # small rounds)
+            e = e.localCheckpoint(eager=False)
+        if (i + 1) % rounds_per_check == 0 or i == max_iter - 1:
+            cur = _checksum(e)
+            if cur == prev:
+                break
+            prev = cur
     # converged star graph: every edge is (member, root)
     labels = e.select(F.col("u").alias("node"), F.col("v").alias("cluster_id"))
     roots_and_singletons = all_nodes.join(

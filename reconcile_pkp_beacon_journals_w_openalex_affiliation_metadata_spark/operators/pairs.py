@@ -40,19 +40,40 @@ def candidate_pairs(
     Left = side 'pkp', right = side 'oa'; a pair is emitted once per shared
     key, then deduped.
     """
+    # ONE size-measuring pass; only the EXCEPTIONAL keys come back to the
+    # driver — oversized (dropped) and hot (salted) blocks are a handful of
+    # keys even at 10^12 docs, so they travel as literal predicates instead
+    # of a join against the O(#distinct keys) size table.
     sizes = block_size_metrics(keys)
-    if max_block_size is not None:
-        keep = sizes.where(F.col("block_size") <= max_block_size)
-    else:
-        keep = sizes
-    # hot = blocks whose cross product is large enough to need splitting.
-    # The sizes table is tiny (one row per key with >1 member that matters);
-    # broadcast it so tagging the keys table is shuffle-free.
-    tagged_sizes = keep.select(
-        "key",
-        (F.col("n_left") * F.col("n_right") > hot_pair_threshold).alias("is_hot"),
+    cond_over = (
+        F.col("block_size") > max_block_size
+        if max_block_size is not None
+        else F.lit(False)
     )
-    k = keys.join(F.broadcast(tagged_sizes), "key", "inner")
+    cond_hot = F.col("n_left") * F.col("n_right") > hot_pair_threshold
+    exceptional = sizes.where(cond_over | cond_hot).select(
+        "key", cond_over.alias("oversized")
+    ).collect()
+    dropped_keys = [r["key"] for r in exceptional if r["oversized"]]
+    hot_keys = [r["key"] for r in exceptional if not r["oversized"]]
+
+    k = keys
+    if len(dropped_keys) + len(hot_keys) > 10_000:
+        # degenerate corpus: too many exceptional keys for literal predicates;
+        # fall back to broadcast joins of the key lists
+        spark = keys.sparkSession
+        if dropped_keys:
+            ddf = spark.createDataFrame([(x,) for x in dropped_keys], "key string")
+            k = k.join(F.broadcast(ddf), "key", "left_anti")
+        hdf = spark.createDataFrame([(x,) for x in hot_keys] or [("",)], "key string")
+        k = k.join(
+            F.broadcast(hdf.withColumn("is_hot", F.lit(True))), "key", "left"
+        ).withColumn("is_hot", F.coalesce(F.col("is_hot"), F.lit(False)))
+    else:
+        if dropped_keys:
+            k = k.where(~F.col("key").isin(dropped_keys))
+        is_hot = F.col("key").isin(hot_keys) if hot_keys else F.lit(False)
+        k = k.withColumn("is_hot", is_hot)
 
     left = k.where(F.col("side") == "pkp").select(
         F.col("doc_id").alias("left_id"), "key", "is_hot"
@@ -62,24 +83,22 @@ def candidate_pairs(
     )
 
     # cold path: plain equi-join on key
-    cold = left.where(~F.col("is_hot")).join(
+    cold = left.where(~F.col("is_hot")).drop("is_hot").join(
         right.where(~F.col("is_hot")).drop("is_hot"), "key", "inner"
     ).select("left_id", "right_id", "key")
 
-    # hot path: salt left, replicate right over all salts
-    salts = F.array(*[F.lit(i) for i in range(n_salts)])
-    hot_left = left.where(F.col("is_hot")).withColumn(
-        "salt", F.pmod(F.xxhash64("left_id"), F.lit(n_salts)).cast("int")
-    )
-    hot_right = (
-        right.where(F.col("is_hot"))
-        .withColumn("salt", F.explode(salts))
-    )
-    hot = hot_left.join(hot_right, ["key", "salt"], "inner").select(
-        "left_id", "right_id", "key"
-    )
-
-    pairs = cold.unionByName(hot)
+    pairs = cold
+    if hot_keys:
+        # hot path: salt left, replicate right over all salts
+        salts = F.array(*[F.lit(i) for i in range(n_salts)])
+        hot_left = left.where(F.col("is_hot")).withColumn(
+            "salt", F.pmod(F.xxhash64("left_id"), F.lit(n_salts)).cast("int")
+        )
+        hot_right = right.where(F.col("is_hot")).withColumn("salt", F.explode(salts))
+        hot = hot_left.join(hot_right, ["key", "salt"], "inner").select(
+            "left_id", "right_id", "key"
+        )
+        pairs = cold.unionByName(hot)
     return pairs.groupBy("left_id", "right_id").agg(
         F.min("key").alias("blocking_key"),
         F.count("*").alias("n_shared_keys"),

@@ -39,8 +39,14 @@ def reconcile(
     max_block_size: int | None = None,
     with_clusters: bool = True,
 ) -> ReconcileResult:
-    records = extract.extract_records(documents)
-    keys = blocking.blocking_keys(records)
+    # records feeds blocking AND both sides of the scoring join; keys feeds
+    # size measurement AND the pair join — persist both so the extract and
+    # blocking UDF passes run once each
+    records = extract.extract_records(documents).persist()
+    # keys feeds two consumers (size measurement + the pair join); persist so
+    # the blocking UDF pass over all documents runs once (committed catalog
+    # table in production)
+    keys = blocking.blocking_keys(records).persist()
     cand = pairs.candidate_pairs(
         keys,
         n_salts=n_salts,
