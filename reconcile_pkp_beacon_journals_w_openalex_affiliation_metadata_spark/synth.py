@@ -23,6 +23,21 @@ _ADJ = [
     "International", "Regional", "Modern", "Comparative", "Interdisciplinary",
     "Quantitative", "Tropical", "Molecular", "Social", "Historical",
 ]
+_REGION = [
+    "African", "Andean", "Asian", "Baltic", "Brazilian", "Caribbean",
+    "Central European", "East African", "Iberian", "Indonesian",
+    "Latin American", "Mediterranean", "Nordic", "Pacific", "Philippine",
+    "Polish", "Czech", "Swedish", "Ugandan", "Chilean",
+]
+_MOD = [
+    "Advances in", "Annals of", "Archives of", "Bulletin of", "Chronicles of",
+    "Contributions to", "Current Topics in", "Debates in", "Developments in",
+    "Essays on", "Frontiers of", "Insights into", "Inquiries into",
+    "Perspectives on", "Proceedings in", "Progress in", "Readings in",
+    "Research in", "Studies in", "Transactions on", "Trends in", "Findings in",
+    "Explorations in", "Horizons in", "Foundations of", "Reviews of",
+    "Dialogues on", "Notes on", "Papers in", "Themes in",
+]
 _NOUN = [
     "Fish Biology", "Materials Science", "Public Health", "Linguistics",
     "Marine Ecology", "Data Engineering", "Plant Pathology", "Economics",
@@ -171,10 +186,15 @@ def generate(
     titles_seen: set[str] = set()
     journals = []
     for j in range(n_journals):
-        # the combinatorial title space is ~1800; beyond a few draws append a
-        # deterministic volume token so generation stays O(n) at any scale
-        for _attempt in range(5):
-            title = f"{rng.choice(_ADJ)} Journal of {rng.choice(_NOUN)}{rng.choice(_SUFFIX)}"
+        # ~1M-combination title space (region x mod x adj x noun x suffix)
+        # keeps titles distinct at 10^5+ journals so candidate-pair volume
+        # stays linear in corpus size; a deterministic series token is the
+        # last-resort disambiguator
+        for _attempt in range(8):
+            title = (
+                f"{rng.choice(_REGION)} {rng.choice(_MOD)} "
+                f"{rng.choice(_ADJ)} {rng.choice(_NOUN)}{rng.choice(_SUFFIX)}"
+            )
             if title not in titles_seen:
                 break
         else:
