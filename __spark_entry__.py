@@ -919,6 +919,65 @@ def t7(spark, sf):
     )
 
 
+@_q(
+    "w2b_span_pairing",
+    """WITH toks0 AS (
+         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+       toks1 AS (
+         SELECT doc_id, t, unnest(range(least(len(t), 8))) AS pos FROM toks0),
+       spans AS (
+         SELECT doc_id, pos, t[pos + 1] AS text,
+                CASE WHEN pos % 3 = 0 THEN 'author' ELSE 'affiliation' END AS kind
+         FROM toks1),
+       carried AS (
+         SELECT *,
+                last_value(CASE WHEN kind = 'author' THEN text END IGNORE NULLS)
+                  OVER w AS cur_author,
+                last_value(CASE WHEN kind = 'author' THEN pos END IGNORE NULLS)
+                  OVER w AS cur_author_pos
+         FROM spans
+         WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       affil AS (
+         SELECT doc_id, cur_author AS author, text AS institution,
+                cur_author_pos AS author_pos
+         FROM carried WHERE kind = 'affiliation' AND cur_author IS NOT NULL),
+       lonely AS (
+         SELECT c.doc_id, c.text AS author, '' AS institution, c.pos AS author_pos
+         FROM carried c WHERE c.kind = 'author' AND NOT EXISTS (
+           SELECT 1 FROM affil a
+           WHERE a.doc_id = c.doc_id AND a.author_pos = c.pos))
+       SELECT doc_id, author, institution, CAST(author_pos AS INT) AS author_pos
+       FROM (SELECT * FROM affil UNION ALL SELECT * FROM lonely)
+       ORDER BY doc_id, author_pos, institution""",
+)
+def w2b(spark, sf):
+    # the reference's meta-tag state machine (parse_landing_page_html.py:54-81)
+    # over real span structs, cross-checked against a window-SQL oracle
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.operators.span_pairing import (
+        pair_authors_affiliations,
+    )
+
+    d = _t(spark, sf, "documents")
+    toks = F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 8)
+    spans = F.transform(
+        toks,
+        lambda x, i: F.struct(
+            F.when(i % 3 == 0, "author").otherwise("affiliation").alias("kind"),
+            x.alias("text"),
+            F.lit("").alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+    docs = d.select(F.col("doc_id").cast("string").alias("doc_id"), spans.alias("spans"))
+    out = pair_authors_affiliations(docs)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "author", "institution",
+        F.col("author_pos").cast("int").alias("author_pos"),
+    ).orderBy("doc_id", "author_pos", "institution")
+
+
 # --- rows-only queries (pandas-UDF operators; no SQL-expressible oracle) ---------
 
 @_q("x1_reconcile_flagship")
@@ -1018,6 +1077,55 @@ def x4(spark, sf):
         .select("left_id", "right_id", "cos_sim")
         .orderBy("left_id", "right_id")
     )
+
+
+@_q("x6_corpus_filter")
+def x6(spark, sf):
+    # the Rust corpus filter (main.rs) end-to-end: nested works synthesized
+    # from driver tables, URL-key semi-join + nested EXISTS + prefix derive
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.operators.corpus_filter import (
+        filter_works,
+    )
+
+    o = _t(spark, sf, "orders")
+    works = o.select(
+        F.concat(F.lit("https://openalex.org/W"), F.col("o_orderkey").cast("string")).alias("id"),
+        F.when(
+            F.col("o_orderkey") % 10 != 0,
+            F.concat(F.lit("10."), (F.col("o_custkey") % 900 + 100).cast("string"),
+                     F.lit("/w."), F.col("o_orderkey").cast("string")),
+        ).alias("doi"),
+        F.lit(None).cast(
+            "struct<landing_page_url:string,pdf_url:string,doi:string>"
+        ).alias("primary_location"),
+        F.lit(None).cast(
+            "struct<landing_page_url:string,pdf_url:string,doi:string>"
+        ).alias("best_oa_location"),
+        F.when(
+            F.col("o_orderkey") % 7 != 0,
+            F.array(F.struct(
+                F.concat(
+                    F.lit("https://journals.host"), (F.col("o_custkey") % 5).cast("string"),
+                    F.lit(".example.org/article/"), F.col("o_orderkey").cast("string"),
+                ).alias("landing_page_url")
+            )),
+        ).alias("locations"),
+        F.when(
+            F.col("o_orderkey") % 5 != 0,
+            F.array(F.struct(
+                F.lit("A B").alias("raw_author_name"),
+                F.struct(F.lit("A B").alias("display_name")).alias("author"),
+                F.when(F.col("o_orderkey") % 3 != 0, F.array(F.lit("Some University")))
+                .otherwise(F.array(F.lit("   "))).alias("raw_affiliation_strings"),
+            )),
+        ).alias("authorships"),
+    )
+    base = spark.createDataFrame(
+        [(f"https://journals.host{i}.example.org/index.php/j",) for i in range(3)],
+        "base_url string",
+    )
+    out, _ = filter_works(works, base)
+    return out.select("id", "doi", "doi_prefix").orderBy("id")
 
 
 @_q("x5_multimodal_media_inventory")

@@ -28,8 +28,8 @@ def strip_oai_suffix(url: Column) -> Column:
 # F4 — URL key (scheme, host, port-or-known-default): the semi-join key of
 # main.rs:239-243 (Url::parse + port_or_known_default).
 def url_key(url: Column) -> Column:
-    proto = F.lower(F.parse_url(url, F.lit("PROTOCOL")))
-    host = F.lower(F.parse_url(url, F.lit("HOST")))
+    proto = F.lower(F.try_parse_url(url, F.lit("PROTOCOL")))
+    host = F.lower(F.try_parse_url(url, F.lit("HOST")))
     # parse_url has no PORT part; extract from authority with regex.
     port_s = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*?:(\d+)(?:[/?#]|$)", 1)
     port = F.coalesce(
@@ -124,9 +124,9 @@ def norm_ascii(s: Column) -> Column:
 
 # P9 — URL validity with scheme repair (parse_record_data_from_files.py:84-102)
 def repair_url(u: Column) -> Column:
-    host = F.parse_url(u, F.lit("HOST"))
+    host = F.try_parse_url(u, F.lit("HOST"))
     repaired = F.concat(F.lit("http://"), u)
-    host2 = F.parse_url(repaired, F.lit("HOST"))
+    host2 = F.try_parse_url(repaired, F.lit("HOST"))
     return (
         F.when(host.isNotNull() & (host != ""), u)
         .when(host2.isNotNull() & (host2 != ""), repaired)
@@ -135,7 +135,7 @@ def repair_url(u: Column) -> Column:
 
 def registrable_domain(url: Column) -> Column:
     """Publisher-domain blocking key: host minus common 'www.' prefix."""
-    host = F.lower(F.parse_url(url, F.lit("HOST")))
+    host = F.lower(F.try_parse_url(url, F.lit("HOST")))
     return F.regexp_replace(host, r"^www\.", "")
 
 

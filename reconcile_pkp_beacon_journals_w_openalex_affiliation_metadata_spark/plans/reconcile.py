@@ -52,7 +52,7 @@ def reconcile(
         n_salts=n_salts,
         hot_pair_threshold=hot_pair_threshold,
         max_block_size=max_block_size,
-    )
+    ).persist()
     scored = scoring.score_pairs(cand, records)
     if with_clusters:
         # clustering iterates over the matched edges; persist the scored

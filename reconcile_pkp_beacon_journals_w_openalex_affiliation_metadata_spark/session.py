@@ -47,6 +47,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
         .config("spark.ui.enabled", "false")
+        # the records side of the scoring join is tiny relative to pairs;
+        # let Catalyst broadcast up to 64MB (default 10MB misses it locally)
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         # nested-schema pruning: read only the touched struct fields, the
         # Spark analogue of the reference's serde projection (main.rs:69-84)
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")

@@ -179,6 +179,7 @@ def generate(
     hot_share: float = 0.2,
     media_rate: float = 0.4,
     n_authors_max: int = 4,
+    oa_copies: int = 1,
 ) -> Corpus:
     rng = random.Random(seed)
     out = Corpus()
@@ -244,8 +245,9 @@ def generate(
         ]
         out.documents.append(_doc(f"pkp:{jr['journal_id']}", pkp_fields, rng, media_rate))
 
-        if rng.random() < match_rate:
-            oid = f"S{j:05d}"
+        n_copies = oa_copies if rng.random() < match_rate else 0
+        for copy in range(n_copies):
+            oid = f"S{j:05d}" if copy == 0 else f"S{j:05d}c{copy}"
             # matched OpenAlex record: perturbed title, same or missing ISSN
             r = rng.random()
             oissn = jr["issn"] if (jr["issn"] and r < 0.8) else None

@@ -13,12 +13,16 @@ from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.operato
 
 
 def _texts(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog tonight while the old "
+        "grey owl watches silently from the tall oak tree near the river"
+    )
     rows = [
-        ("d1", "the quick brown fox jumps over the lazy dog tonight"),
-        ("d2", "The  quick brown FOX jumps over the lazy dog tonight"),  # ws/case only
-        ("d3", "the quick brown fox jumps over the lazy cat tonight"),   # near-dup
+        ("d1", base),
+        ("d2", base.replace("quick", "Quick ").replace("fox", "FOX")),  # ws/case only
+        ("d3", base.replace("dog", "cat")),  # one-token near-dup (high Jaccard)
         ("d4", "completely different content about spark shuffles and joins"),
-        ("d5", "the quick brown fox jumps over the lazy dog tonight"),   # exact dup of d1
+        ("d5", base),  # exact dup of d1
     ]
     return spark.createDataFrame(rows, "doc_id string, text string")
 
