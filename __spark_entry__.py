@@ -674,6 +674,52 @@ def f5(spark, sf):
 
 
 @_q(
+    "f10_nested_coalesce",
+    """SELECT o_orderkey,
+              coalesce(primary_loc.landing_page_url, best_oa.landing_page_url)
+                AS landing_url,
+              coalesce(primary_loc.pdf_url, best_oa.pdf_url) AS pdf_url
+       FROM (SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0
+                    THEN struct_pack(landing_page_url := NULL::VARCHAR,
+                                     pdf_url := 'https://a/' || CAST(o_orderkey AS VARCHAR))
+                    ELSE struct_pack(landing_page_url := 'https://p/' || CAST(o_orderkey AS VARCHAR),
+                                     pdf_url := NULL::VARCHAR) END AS primary_loc,
+               struct_pack(landing_page_url := 'https://b/' || CAST(o_orderkey AS VARCHAR),
+                           pdf_url := 'https://b/' || CAST(o_orderkey AS VARCHAR) || '.pdf')
+                 AS best_oa
+             FROM orders) ORDER BY o_orderkey""",
+)
+def f10(spark, sf):
+    # nested coalesce across location structs (parse_record_data_from_files.py:219-281)
+    o = _t(spark, sf, "orders")
+    k = F.col("o_orderkey").cast("string")
+    primary = F.when(
+        F.col("o_orderkey") % 3 == 0,
+        F.struct(
+            F.lit(None).cast("string").alias("landing_page_url"),
+            F.concat(F.lit("https://a/"), k).alias("pdf_url"),
+        ),
+    ).otherwise(
+        F.struct(
+            F.concat(F.lit("https://p/"), k).alias("landing_page_url"),
+            F.lit(None).cast("string").alias("pdf_url"),
+        )
+    )
+    best = F.struct(
+        F.concat(F.lit("https://b/"), k).alias("landing_page_url"),
+        F.concat(F.lit("https://b/"), k, F.lit(".pdf")).alias("pdf_url"),
+    )
+    d = o.select("o_orderkey", primary.alias("primary_loc"), best.alias("best_oa"))
+    return d.select(
+        "o_orderkey",
+        F.coalesce(F.col("primary_loc.landing_page_url"), F.col("best_oa.landing_page_url"))
+        .alias("landing_url"),
+        F.coalesce(F.col("primary_loc.pdf_url"), F.col("best_oa.pdf_url")).alias("pdf_url"),
+    ).orderBy("o_orderkey")
+
+
+@_q(
     "f8_b64_roundtrip",
     """SELECT s_suppkey, fname,
               decode(from_base64(translate(fname, '-_', '+/') ||
