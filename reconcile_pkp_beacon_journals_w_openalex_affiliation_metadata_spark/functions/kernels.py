@@ -128,17 +128,27 @@ def jaro(a: str, b: str) -> float:
     window = max(la, lb) // 2 - 1
     if window < 0:
         window = 0
-    b_taken = [False] * lb
-    matches = 0
+    # bit-parallel greedy window matching (the rapidfuzz approach): position
+    # masks per char of b; candidates = pm[c] & window & ~taken; take lowest.
+    pm: dict[str, int] = {}
+    bit = 1
+    for c in b:
+        pm[c] = pm.get(c, 0) | bit
+        bit <<= 1
+    taken = 0
     a_match_idx = []
+    get = pm.get
     for i, ca in enumerate(a):
-        lo, hi = max(0, i - window), min(lb, i + window + 1)
-        for j in range(lo, hi):
-            if not b_taken[j] and b[j] == ca:
-                b_taken[j] = True
-                a_match_idx.append(j)
-                matches += 1
-                break
+        lo = i - window if i > window else 0
+        hi = i + window + 1
+        if hi > lb:
+            hi = lb
+        cand = get(ca, 0) & ((1 << hi) - (1 << lo)) & ~taken
+        if cand:
+            low = cand & -cand
+            taken |= low
+            a_match_idx.append(low.bit_length() - 1)
+    matches = len(a_match_idx)
     if matches == 0:
         return 0.0
     # transpositions: matched chars in a-order vs matched chars in b-order
@@ -181,8 +191,10 @@ def token_set_ratio(a: str | None, b: str | None) -> float:
     s2 = (s_inter + " " + " ".join(diff_ba)).strip()
     if inter and (not diff_ab or not diff_ba):
         return 100.0
-    return max(
-        indel_ratio(s_inter, s1),
-        indel_ratio(s_inter, s2),
-        indel_ratio(s1, s2),
-    )
+    # s_inter is a PREFIX of s1 and of s2, so LCS(s_inter, sX) == len(s_inter)
+    # exactly -> those two ratios have the closed form 200*li/(li+lX); only
+    # the s1-vs-s2 comparison needs the real DP.
+    li, l1, l2 = len(s_inter), len(s1), len(s2)
+    r1 = 100.0 * (2.0 * li) / (li + l1) if (li + l1) else 100.0
+    r2 = 100.0 * (2.0 * li) / (li + l2) if (li + l2) else 100.0
+    return max(r1, r2, indel_ratio(s1, s2))
