@@ -30,7 +30,9 @@ DECISION_THRESHOLD = 0.5
 
 
 def _side(records: DataFrame, side: str, prefix: str) -> DataFrame:
-    cols = ["doc_id", "norm_title", "norm_issn", "domain", "country", "title"]
+    # only the columns the features touch: the records side is broadcast in
+    # the scoring join, so every extra column is broadcast-build time
+    cols = ["doc_id", "norm_title", "norm_issn", "domain", "country"]
     return records.where(F.col("side") == side).select(
         *[F.col(c).alias(f"{prefix}{c}") for c in cols]
     )

@@ -1,0 +1,94 @@
+"""Unit tests for native column helpers (SURVEY F-ops) + the CSV sink (S4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.functions import native
+
+
+def _one(spark, col, **cols):
+    df = spark.createDataFrame(
+        [tuple(cols.values())], ", ".join(f"{k} string" for k in cols)
+    )
+    return df.select(col.alias("out")).collect()[0]["out"]
+
+
+def test_epoch_ms_range_rule(spark):
+    # parse_record_data_from_files.py:150-169: 1970 <= year <= now+5 else null
+    df = spark.createDataFrame(
+        [(0,), (1700000000000,), (-10000000000000,), (99999999999999,)], "ms long"
+    )
+    got = [
+        r["out"]
+        for r in df.select(native.epoch_ms_to_compact_utc(F.col("ms")).alias("out"))
+        .collect()
+    ]
+    assert got[0] == "19700101000000"
+    assert got[1] == "20231114221320"
+    assert got[2] is None  # year < 1970
+    assert got[3] is None  # year > now+5
+
+
+def test_sanitize_filename(spark):
+    # retrieve_landing_pages.py:31-36: '/'->'_', non-word->'_', leading-dot guard
+    assert _one(spark, native.sanitize_filename(F.col("s")), s="a/b c?.html") == "a_b_c_.html"
+    assert _one(spark, native.sanitize_filename(F.col("s")), s=".hidden") == "_.hidden"
+
+
+def test_openalex_wid(spark):
+    assert _one(spark, native.openalex_wid(F.col("s")), s="https://openalex.org/W123") == "W123"
+    assert _one(spark, native.openalex_wid(F.col("s")), s="https://openalex.org/A9") is None
+
+
+def test_strip_oai_suffix_longest_first_single_strip(spark):
+    # '/journal/index.php/index/oai' also ends with '/index.php/index/oai' —
+    # the longest suffix must win, and only ONE strip happens
+    u = "https://x.org/j/journal/index.php/index/oai"
+    assert _one(spark, native.strip_oai_suffix(F.col("s")), s=u) == "https://x.org/j"
+    # no suffix -> unchanged
+    assert _one(spark, native.strip_oai_suffix(F.col("s")), s="https://x.org/j") == "https://x.org/j"
+    # double suffix: stripped exactly once
+    u2 = "https://x.org/oai/oai"
+    assert _one(spark, native.strip_oai_suffix(F.col("s")), s=u2) == "https://x.org/oai"
+
+
+def test_url_key_default_ports(spark):
+    # main.rs:239-243: port_or_known_default equality
+    k = lambda s: _one(spark, native.url_key(F.col("s")), s=s)  # noqa: E731
+    assert k("https://A.Org/x") == "https|a.org|443"
+    assert k("https://a.org:443/y") == "https|a.org|443"
+    assert k("http://a.org") == "http|a.org|80"
+    assert k("http://a.org:8080/z") == "http|a.org|8080"
+    assert k("::garbage::") is None
+
+
+def test_b64_filename_roundtrip_unicode(spark):
+    dois = ["10.123/ab.c", "10.1/ümlaut·x", "10.9/a/b/c?d=e&f"]
+    df = spark.createDataFrame([(d,) for d in dois], "doi string")
+    out = df.select(
+        "doi",
+        native.filename_to_doi(native.doi_to_filename(F.col("doi"))).alias("back"),
+    ).collect()
+    for r in out:
+        assert r["back"] == r["doi"]
+
+
+def test_csv_sink_roundtrip(spark, tmp_path):
+    # S4: header CSV sink (get_journal_base_urls...py:67-77)
+    from pyspark.sql import types as T
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.sources.readers import (
+        read_csv,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a,with comma"), (2, 'quote " inside')], "id int, txt string"
+    )
+    p = str(tmp_path / "out_csv")
+    df.write.mode("overwrite").option("header", True).csv(p)
+    schema = T.StructType(
+        [T.StructField("id", T.IntegerType()), T.StructField("txt", T.StringType())]
+    )
+    back = read_csv(spark, p, schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))

@@ -176,8 +176,8 @@ def main():
     best: dict[tuple[int, int], dict] = {}
     for _round in range(ROUNDS):
         for layer, cores in ((1, LEG_N), (1, LEG_4N), (2, LEG_N), (2, LEG_4N)):
-            if layer == 2 and _round >= 2:
-                continue  # layer 2 is context; 2 rounds suffice
+            if layer == 2 and _round >= 1:
+                continue  # layer 2 is context; one round per leg suffices
             r = _run_sub(["--leg", str(cores), "--layer", str(layer)])
             print(r)
             k = (layer, cores)
