@@ -1,0 +1,107 @@
+"""spark-submit entrypoint for the full reconcile pipeline.
+
+Usage (cluster):
+
+    zip -r pkg.zip reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark
+    spark-submit --py-files pkg.zip \
+        reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark/jobs/reconcile_job.py \
+        --documents s3://corpus/documents --output s3://out/run1 \
+        [--resume] [--n-salts 16] [--max-block-size 5000] \
+        [--hot-pair-threshold 5000000]
+
+Usage (sandbox smoke):
+
+    python -m reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.jobs.reconcile_job \
+        --synth 2000 --output /tmp/reconcile_out
+
+Every stage commits through the catalog (atomic marker) and is skipped on
+restart (--resume), satisfying north_rule's "resumable from the last
+committed checkpoint"; per-partition lineage + match-rate metrics are
+appended to the ``lineage`` table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import uuid
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--documents", help="path to the interleaved-span documents table")
+    ap.add_argument("--synth", type=int, default=0, help="generate a seeded corpus of N journals instead")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--resume", action="store_true", help="skip committed stages")
+    ap.add_argument("--n-salts", type=int, default=8)
+    ap.add_argument("--max-block-size", type=int, default=None)
+    ap.add_argument("--hot-pair-threshold", type=int, default=1_000_000)
+    ap.add_argument("--run-id", default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from .. import schemas, synth
+    from ..operators import blocking, cluster, extract, lineage, pairs, scoring
+    from ..sources.catalog import Catalog, run_stage
+
+    # on a cluster the session comes from spark-submit; local fallback for smoke
+    spark = SparkSession.builder.appName("reconcile_pkp_openalex").getOrCreate()
+    run_id = args.run_id or uuid.uuid4().hex[:12]
+    cat = Catalog(args.output)
+    force = not args.resume
+
+    if args.synth:
+        corpus = synth.generate(seed=42, n_journals=args.synth)
+        docs = spark.createDataFrame(corpus.documents, schema=schemas.DOCUMENTS)
+    else:
+        if not args.documents:
+            ap.error("--documents or --synth required")
+        docs = spark.read.parquet(args.documents)
+    schemas.assert_schema(docs, schemas.DOCUMENTS, "documents")
+
+    lineage_rows = []
+
+    records = run_stage(cat, spark, "records", lambda: extract.extract_records(docs), force=force)
+    lineage_rows.append(lineage.partition_metrics(records, run_id, "extract"))
+
+    keys = run_stage(cat, spark, "blocking_keys", lambda: blocking.blocking_keys(records), force=force)
+    lineage_rows.append(lineage.partition_metrics(keys, run_id, "blocking"))
+
+    cand = run_stage(
+        cat, spark, "candidate_pairs",
+        lambda: pairs.candidate_pairs(
+            keys, n_salts=args.n_salts,
+            hot_pair_threshold=args.hot_pair_threshold,
+            max_block_size=args.max_block_size,
+        ),
+        force=force,
+    )
+    lineage_rows.append(lineage.partition_metrics(cand, run_id, "pairs"))
+
+    scored = run_stage(
+        cat, spark, "scored", lambda: scoring.score_pairs(cand, records), force=force
+    )
+    lineage_rows.append(lineage.partition_metrics(scored, run_id, "scoring"))
+    lineage_rows.append(lineage.match_rate_metrics(scored, run_id))
+
+    clusters = run_stage(
+        cat, spark, "clusters",
+        lambda: cluster.connected_components(scoring.matched_edges(scored)),
+        force=force,
+    )
+    lineage_rows.append(lineage.partition_metrics(clusters, run_id, "clustering"))
+
+    lin = lineage_rows[0]
+    for extra in lineage_rows[1:]:
+        lin = lin.unionByName(extra)
+    # lineage is append-only across runs
+    lin.write.mode("append").parquet(f"{args.output}/lineage.parquet")
+
+    n_pairs = scored.count()
+    n_clusters = clusters.select("cluster_id").distinct().count()
+    print(f"run_id={run_id} pairs_scored={n_pairs} clusters={n_clusters} output={args.output}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())
