@@ -69,11 +69,12 @@ def main() -> None:
     # scoring throughput: the north metric (candidate-pairs-scored/sec) on a
     # synthetic 300k-pair batch of realistic normalized titles
     n_pairs = 300_000
+    # every pair distinct (no batch-memo hits) — honest per-pair throughput
     pairs = spark.range(n_pairs).select(
         F.concat(F.lit("regional studies in applied fish biology volume "),
-                 (F.col("id") % 9973).cast("string")).alias("a"),
+                 F.col("id").cast("string")).alias("a"),
         F.concat(F.lit("regional studies in applied fish bioolgy volume "),
-                 ((F.col("id") + 7) % 9973).cast("string")).alias("b"),
+                 (F.col("id") + 7).cast("string")).alias("b"),
     ).repartition(int(cpus)).persist()
     pairs.count()
     t0 = time.perf_counter()
