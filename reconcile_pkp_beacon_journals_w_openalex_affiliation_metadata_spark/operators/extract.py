@@ -31,24 +31,36 @@ def text_of(doc_spans_col) -> "F.Column":
     return F.array_join(texts, "\n")
 
 
+def _field(key: str) -> "F.Column":
+    """Value of the first text span 'KEY: ...', in offset order.
+
+    Span-level startswith instead of a multiline regex over the concatenated
+    document: no giant intermediate string, and a body line that *contains*
+    'TITLE:' can never false-match (spans are the unit of structure)."""
+    prefix = key + ": "
+    matches = F.filter(
+        F.col("spans"),
+        lambda s: (s["kind"] == F.lit("text")) & s["text"].startswith(prefix),
+    )
+    ordered = F.array_sort(
+        matches, lambda a, b: a["offset"].cast("int") - b["offset"].cast("int")
+    )
+    first = F.try_element_at(ordered, F.lit(1))  # ANSI-safe: null when absent
+    return F.nullif(F.substring(first["text"], len(prefix) + 1, 1 << 20), F.lit(""))
+
+
 def extract_records(documents: DataFrame) -> DataFrame:
     """One row per document with typed fields + normalized forms.
 
     Normalization = ascii-fold (pandas UDF, the only Python crossing) composed
     with native lower/regex steps — F1 parity with check_landing_page...py:16-27.
     """
-    doc_text = text_of(F.col("spans"))
     df = documents.select(
         "doc_id",
         F.when(F.col("doc_id").startswith("pkp:"), F.lit("pkp"))
         .otherwise(F.lit("oa"))
         .alias("side"),
-        *[
-            F.nullif(
-                F.regexp_extract(doc_text, rf"(?m)^{f}: (.*)$", 1), F.lit("")
-            ).alias(f.lower())
-            for f in _FIELDS
-        ],
+        *[_field(f).alias(f.lower()) for f in _FIELDS],
     )
     return df.select(
         "*",
