@@ -92,11 +92,25 @@ def sim_features_udf(a: pd.Series, b: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"indel": indel, "jw": jw, "tsr": tsr}, index=a.index)
 
 
-def make_minhash_bands_udf(num_perm: int = 64, bands: int = 16, shingle_k: int = 3, seed: int = 42):
+def make_minhash_bands_udf(
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 42,
+    tokenizer: str = "shingle",
+):
     """MinHash LSH band keys over normalized text (north_rule title blocking).
 
-    Deterministic seeds -> identical bands on every executor.
+    ``tokenizer``: 'shingle' = word k-shingles (catches token-level edits),
+    'char' = character k-grams (catches letter-level typos; word shingles
+    miss those because one letter flips k whole shingles). The blocker ORs
+    both families. Deterministic seeds -> identical bands on every executor.
     """
+    tok = (
+        (lambda t: hashing.shingles(t, k=shingle_k))
+        if tokenizer == "shingle"
+        else (lambda t: hashing.char_ngrams(t, n=shingle_k))
+    )
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def _udf(s: pd.Series) -> pd.Series:
@@ -104,7 +118,7 @@ def make_minhash_bands_udf(num_perm: int = 64, bands: int = 16, shingle_k: int =
             if not text:
                 return []
             return hashing.minhash_bands(
-                hashing.shingles(text, k=shingle_k), num_perm=num_perm, bands=bands, seed=seed
+                tok(text), num_perm=num_perm, bands=bands, seed=seed
             )
 
         return s.map(one)

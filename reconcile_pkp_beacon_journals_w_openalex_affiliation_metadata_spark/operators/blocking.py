@@ -18,6 +18,7 @@ from ..functions.udfs import make_minhash_bands_udf
 MINHASH_NUM_PERM = 64
 MINHASH_BANDS = 16
 MINHASH_SHINGLE_K = 3
+CHAR_NGRAM_K = 4
 
 
 def blocking_keys(
@@ -25,6 +26,7 @@ def blocking_keys(
     use_issn: bool = True,
     use_title_bands: bool = True,
     use_domain: bool = True,
+    use_char_bands: bool = True,
 ) -> DataFrame:
     """(doc_id, side, key) — one row per (document, blocking key).
 
@@ -48,18 +50,31 @@ def blocking_keys(
                 F.concat(F.lit("domain:"), F.col("domain")).alias("key"),
             )
         )
+    titled = records.where(
+        F.col("norm_title").isNotNull() & (F.col("norm_title") != "")
+    )
     if use_title_bands:
+        # word-shingle LSH: catches token-level edits (reorder, add/drop word)
         bands_udf = make_minhash_bands_udf(
             num_perm=MINHASH_NUM_PERM, bands=MINHASH_BANDS, shingle_k=MINHASH_SHINGLE_K
         )
         parts.append(
-            records.where(F.col("norm_title").isNotNull() & (F.col("norm_title") != ""))
-            .select(
-                "doc_id",
-                "side",
-                F.explode(bands_udf(F.col("norm_title"))).alias("band"),
-            )
-            .select("doc_id", "side", F.concat(F.lit("band:"), F.col("band")).alias("key"))
+            titled.select(
+                "doc_id", "side", F.explode(bands_udf(F.col("norm_title"))).alias("band")
+            ).select("doc_id", "side", F.concat(F.lit("band:"), F.col("band")).alias("key"))
+        )
+    if use_char_bands:
+        # char-4-gram LSH: catches letter-level typos, which flip k whole
+        # word-shingles at once and make the word family miss (~20% of
+        # indel>=90 pairs in the recall property test without this family)
+        cbands_udf = make_minhash_bands_udf(
+            num_perm=MINHASH_NUM_PERM, bands=MINHASH_BANDS,
+            shingle_k=CHAR_NGRAM_K, seed=137, tokenizer="char",
+        )
+        parts.append(
+            titled.select(
+                "doc_id", "side", F.explode(cbands_udf(F.col("norm_title"))).alias("band")
+            ).select("doc_id", "side", F.concat(F.lit("cband:"), F.col("band")).alias("key"))
         )
     if not parts:
         raise ValueError("at least one key family must be enabled")
