@@ -325,9 +325,9 @@ def a2(spark, sf):
 @_q(
     "a3_a5_flags_per_key",
     """SELECT user_id,
-              sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
-              sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-              sum(CASE WHEN event_type = 'error' AND value > 100 THEN 1 ELSE 0 END) AS n_error_high,
+              CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+              CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+              CAST(sum(CASE WHEN event_type = 'error' AND value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_error_high,
               bool_and(value < 1000) AS all_small,
               bool_or(value > 150) AS any_big
        FROM events GROUP BY user_id ORDER BY user_id""",
@@ -374,11 +374,11 @@ def a4(spark, sf):
 @_q(
     "a6_global_conditional_pct",
     """SELECT count(*) AS n,
-              sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
-              sum(CASE WHEN value > 180 THEN 1 ELSE 0 END) AS n_high,
-              sum(CASE WHEN event_type = 'error' AND value > 180 THEN 1 ELSE 0 END) AS n_error_high,
-              round(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 100.0 / count(*), 2) AS pct_error,
-              round(sum(CASE WHEN value > 180 THEN 1 ELSE 0 END) * 100.0 / count(*), 2) AS pct_high
+              CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+              CAST(sum(CASE WHEN value > 180 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+              CAST(sum(CASE WHEN event_type = 'error' AND value > 180 THEN 1 ELSE 0 END) AS BIGINT) AS n_error_high,
+              round(CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE) * 100.0 / count(*), 2) AS pct_error,
+              round(CAST(sum(CASE WHEN value > 180 THEN 1 ELSE 0 END) AS DOUBLE) * 100.0 / count(*), 2) AS pct_high
        FROM events""",
 )
 def a6(spark, sf):

@@ -23,18 +23,23 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def norm_val(v):
+    # Type-sensitive on purpose: the driver's value hash distinguishes
+    # int from float (e.g. DuckDB HUGEINT -> float64 via Arrow), so an
+    # int-valued float must NOT normalize to the int's string.
     if v is None:
         return "NULL"
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, Decimal):
-        v = float(v)
+        return "dec:" + str(v)
     if isinstance(v, float):
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return f"{v:.6g}"
+        if v == 0.0:
+            v = 0.0  # fold -0.0
+        return "f:" + repr(v)
     if isinstance(v, int):
-        return str(v)
+        return "i:" + str(v)
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_val(x) for x in v) + "]"
     return str(v)
 
 
@@ -76,8 +81,13 @@ def main():
             continue
         try:
             res = con.sql(oracles[name])
-            dcols = res.columns
-            drows = res.fetchall()
+            # Fetch via Arrow, like the driver: this is where DuckDB's
+            # HUGEINT (int128 from raw sum()) silently becomes float64,
+            # so a missing BIGINT cast in an oracle shows up here too.
+            tbl = res.fetch_arrow_table()
+            dcols = tbl.column_names
+            dlists = [tbl.column(c).to_pylist() for c in dcols]
+            drows = list(zip(*dlists)) if dcols else []
         except Exception as e:
             print(f"{name:32s} DUCKDB FAILED: {str(e)[:200]}")
             failures.append(name)
