@@ -1040,29 +1040,114 @@ def x1(spark, sf):
     ).orderBy("left_id", "right_id")
 
 
-@_q("x2_minhash_lsh_pairs")
-def x2(spark, sf):
-    # MinHash-LSH near-dup candidate pairs over the documents table
-    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.functions.udfs import (
-        make_minhash_bands_udf,
+def _minhash_perm_values(num_perm: int = 64, seed: int = 42) -> str:
+    """Render the deterministic MinHash affine coefficients as a SQL VALUES
+    list so the DuckDB oracle recomputes the signatures independently."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.functions.hashing import (
+        _perms,
     )
 
-    d = _t(spark, sf, "documents").select(
-        "doc_id", F.lower(F.trim(F.col("text"))).alias("norm")
+    a, b = _perms(num_perm, seed)
+    return ", ".join(f"({i}, {int(a[i])}, {int(b[i])})" for i in range(num_perm))
+
+
+def _x2_oracle() -> str:
+    # Independent MinHash-LSH recomputation: md5_number_lower-based shingle
+    # hashes, the same 64 affine perms (inlined constants), 16 bands of 4,
+    # the same oversized-band cap, then the band self-join.
+    return f"""
+WITH perms(perm_id, pa, pb) AS (VALUES {_minhash_perm_values(64, 42)}),
+norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS n
+  FROM documents
+),
+words AS (
+  SELECT doc_id, string_split(n, ' ') AS ws FROM norm WHERE n <> ''
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) < 3 THEN array_to_string(ws, ' ')
+              ELSE ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] END AS shingle
+  FROM words,
+       unnest(CASE WHEN len(ws) < 3 THEN [1]
+                   ELSE generate_series(1, len(ws) - 2) END) AS t(i)
+),
+hashed AS (
+  SELECT doc_id, md5_number_lower(shingle) & 4294967295 AS h FROM sh
+),
+mins AS (
+  SELECT h.doc_id, p.perm_id,
+         min(CAST((CAST(p.pa AS HUGEINT) * h.h + p.pb) % 2305843009213693951
+             AS UBIGINT) & 4294967295) AS mv
+  FROM hashed h CROSS JOIN perms p
+  GROUP BY h.doc_id, p.perm_id
+),
+bands AS (
+  SELECT doc_id,
+         'b' || CAST(perm_id // 4 AS VARCHAR) || ':' ||
+         string_agg(CAST(mv AS VARCHAR), '-' ORDER BY perm_id) AS band
+  FROM mins GROUP BY doc_id, perm_id // 4
+),
+kept AS (
+  SELECT doc_id, band FROM bands
+  QUALIFY count(*) OVER (PARTITION BY band) <= 10000
+)
+SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+FROM kept a JOIN kept b ON a.band = b.band AND a.doc_id < b.doc_id
+ORDER BY left_id, right_id
+"""
+
+
+@_q("x2_minhash_lsh_pairs", _x2_oracle())
+def x2(spark, sf):
+    # MinHash-LSH near-dup candidate pairs over the documents table, via the
+    # production operator (band-size cap included — the inline band join this
+    # replaced went quadratic on degenerate stop-phrase bands).
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.operators.dedup import (
+        minhash_lsh_pairs,
     )
-    bands = make_minhash_bands_udf(num_perm=64, bands=16, shingle_k=3)
-    k = d.select("doc_id", F.explode(bands(F.col("norm"))).alias("band"))
-    a = k.alias("a")
-    b = k.alias("b")
+
+    d = _t(spark, sf, "documents")
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("left_id"), F.col("b.doc_id").alias("right_id"))
-        .distinct()
+        minhash_lsh_pairs(
+            d, id_col="doc_id", text_col="text",
+            num_perm=64, bands=16, shingle_k=3, max_band_size=10_000,
+        )
         .orderBy("left_id", "right_id")
     )
 
 
-@_q("x3_simhash_codes")
+_X3_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+  FROM documents
+),
+tk AS (
+  SELECT doc_id, md5_number_lower(tok) AS h FROM toks WHERE tok <> ''
+),
+bitsum AS (
+  SELECT doc_id, j,
+         sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM tk CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) js
+  GROUP BY doc_id, j
+),
+code AS (
+  SELECT doc_id,
+         sum(CASE WHEN acc > 0 THEN CAST(1 AS HUGEINT) << j
+                  ELSE CAST(0 AS HUGEINT) END) AS u
+  FROM bitsum GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(
+         CASE WHEN c.u >= CAST(9223372036854775808 AS HUGEINT)
+              THEN c.u - CAST(18446744073709551616 AS HUGEINT) ELSE c.u END,
+         0) AS BIGINT) AS simhash64
+FROM documents d LEFT JOIN code c USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@_q("x3_simhash_codes", _X3_ORACLE)
 def x3(spark, sf):
     from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.functions.udfs import (
         simhash_udf,
@@ -1074,7 +1159,34 @@ def x3(spark, sf):
     ).orderBy("doc_id")
 
 
-@_q("x4_ann_lsh_topk")
+def _x4_oracle() -> str:
+    # Same 8 deterministic hyperplanes (RandomState(7)), inlined as SQL array
+    # literals; bucket by sign bits, exact cosine within bucket, top-3 window.
+    import numpy as np
+
+    planes = np.random.RandomState(7).randn(8, 64)
+    arr = lambda p: "[" + ", ".join(repr(float(v)) for v in p) + "]"  # noqa: E731
+    bucket = " || ".join(
+        f"(CASE WHEN list_dot_product(v, {arr(p)}) > 0 THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+pairs AS (
+  SELECT a.vec_id AS left_id, b2.vec_id AS right_id,
+         round(list_cosine_similarity(a.v, b2.v), 3) AS cos_sim
+  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+)
+SELECT left_id, right_id, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY left_id
+                               ORDER BY cos_sim DESC, right_id) AS rn
+  FROM pairs
+) WHERE rn <= 3 ORDER BY left_id, right_id
+"""
+
+
+@_q("x4_ann_lsh_topk", _x4_oracle())
 def x4(spark, sf):
     # LSH-bucketed ANN: random-hyperplane signs -> bucket join -> exact cosine
     # within bucket (the scale path; t6 is the brute-force baseline)
@@ -1125,7 +1237,53 @@ def x4(spark, sf):
     )
 
 
-@_q("x6_corpus_filter")
+# Independent DuckDB re-implementation of the corpus filter (main.rs:216-315):
+# synthesize the same works from orders, parse URL keys with regexes, semi-join
+# against the 3 base-url keys, require a non-blank affiliation, derive doi_prefix.
+_URLKEY_DUCK = (
+    "lower(regexp_extract({u}, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) || '|' || "
+    "lower(regexp_extract({u}, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)', 1)) || '|' || "
+    "coalesce(nullif(regexp_extract({u}, "
+    "'^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*?:([0-9]+)(?:[/?#]|$)', 1), ''), "
+    "CASE lower(regexp_extract({u}, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) "
+    "WHEN 'https' THEN '443' WHEN 'http' THEN '80' END)"
+)
+
+_X6_ORACLE = f"""
+WITH works AS (
+  SELECT 'https://openalex.org/W' || CAST(o_orderkey AS VARCHAR) AS id,
+         CASE WHEN o_orderkey % 10 <> 0
+              THEN '10.' || CAST(o_custkey % 900 + 100 AS VARCHAR)
+                   || '/w.' || CAST(o_orderkey AS VARCHAR) END AS doi,
+         CASE WHEN o_orderkey % 7 <> 0
+              THEN 'https://journals.host' || CAST(o_custkey % 5 AS VARCHAR)
+                   || '.example.org/article/' || CAST(o_orderkey AS VARCHAR)
+              END AS landing_page_url,
+         CASE WHEN o_orderkey % 5 <> 0
+              THEN (CASE WHEN o_orderkey % 3 <> 0 THEN 'Some University'
+                         ELSE '   ' END) END AS affil
+  FROM orders
+), base AS (
+  SELECT unnest(['https://journals.host0.example.org/index.php/j',
+                 'https://journals.host1.example.org/index.php/j',
+                 'https://journals.host2.example.org/index.php/j']) AS base_url
+), base_keys AS (
+  SELECT DISTINCT {_URLKEY_DUCK.format(u='base_url')} AS url_key FROM base
+), keyed AS (
+  SELECT w.*, {_URLKEY_DUCK.format(u='landing_page_url')} AS url_key FROM works w
+)
+SELECT id, doi,
+       coalesce(nullif(regexp_extract(doi,
+           '^(?:https?://doi\\.org/)?(10\\.[0-9]+)(?:/.*)?$', 1), ''),
+           '_unknown_') AS doi_prefix
+FROM keyed
+WHERE url_key IN (SELECT url_key FROM base_keys)
+  AND affil IS NOT NULL AND trim(affil) <> ''
+ORDER BY id
+"""
+
+
+@_q("x6_corpus_filter", _X6_ORACLE)
 def x6(spark, sf):
     # the Rust corpus filter (main.rs) end-to-end: nested works synthesized
     # from driver tables, URL-key semi-join + nested EXISTS + prefix derive
@@ -1174,7 +1332,17 @@ def x6(spark, sf):
     return out.select("id", "doi", "doi_prefix").orderBy("id")
 
 
-@_q("x5_multimodal_media_inventory")
+@_q(
+    "x5_multimodal_media_inventory",
+    """WITH sids AS (
+         SELECT (CASE WHEN doc_id % 2 = 0 THEN 'pkp' ELSE 'oa' END)
+                || ':D' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS sid
+         FROM documents
+       )
+       SELECT sid AS doc_id, 'img://' || sid || '/5' AS media_ref,
+              CAST(5 AS INT) AS offset
+       FROM sids ORDER BY doc_id""",
+)
 def x5(spark, sf):
     # media-span plumbing: schema/partitioning/batch shape are real; decode
     # itself is stubbed (operators.multimodal) since no image libs exist here

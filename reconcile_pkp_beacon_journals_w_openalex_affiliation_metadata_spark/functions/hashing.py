@@ -11,12 +11,21 @@ numpy-vectorized across the tokens of one value; the pandas-UDF wrappers in
 
 from __future__ import annotations
 
-import zlib
+import hashlib
 
 import numpy as np
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 _MAXH = np.uint64((1 << 32) - 1)
+
+
+def md5_u64(token: str) -> int:
+    """Lower 64 bits of md5 (little-endian of digest bytes 8..16).
+
+    Chosen because it equals DuckDB's ``md5_number_lower(token)``, so every
+    LSH key family built on it is independently recomputable in plain SQL
+    (the driver's correctness oracle)."""
+    return int.from_bytes(hashlib.md5(token.encode("utf-8")).digest()[8:16], "little")
 
 
 def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
@@ -37,9 +46,10 @@ def _perms(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
 
 
 def token_hashes(tokens: list[str]) -> np.ndarray:
-    """Stable 32-bit hashes (crc32) of tokens."""
+    """Stable 32-bit hashes of tokens (md5 lower-64 masked to 32 bits —
+    ``md5_number_lower(t) & 0xFFFFFFFF`` in DuckDB)."""
     return np.fromiter(
-        (zlib.crc32(t.encode("utf-8")) for t in tokens), dtype=np.uint64, count=len(tokens)
+        (md5_u64(t) & 0xFFFFFFFF for t in tokens), dtype=np.uint64, count=len(tokens)
     )
 
 
@@ -72,30 +82,32 @@ def minhash_bands(
     tokens: list[str], num_perm: int = 64, bands: int = 16, seed: int = 42
 ) -> list[str]:
     """LSH band keys: signature split into ``bands`` rows-per-band groups,
-    each band hashed to a stable hex key ``b{i}:{crc32 of band bytes}``."""
+    each band rendered as ``b{i}:{v0-v1-...}`` (decimal join — longer than a
+    hash of the band bytes but recomputable in SQL via string_agg, which is
+    what lets the driver oracle the whole LSH family)."""
     sig = minhash_signature(tokens, num_perm=num_perm, seed=seed)
     r = num_perm // bands
     out = []
     for i in range(bands):
-        band = sig[i * r : (i + 1) * r].astype(np.uint32).tobytes()
-        out.append(f"b{i}:{zlib.crc32(band):08x}")
+        band = sig[i * r : (i + 1) * r]
+        out.append(f"b{i}:" + "-".join(str(int(v)) for v in band))
     return out
 
 
 def simhash64(tokens: list[str]) -> int:
-    """64-bit SimHash over token crc32x2 hashes (signed int64 for Spark)."""
+    """64-bit SimHash over md5-lower-64 token hashes (signed int64 for Spark).
+
+    Vectorized: one (n_tokens, 64) bit matrix via unpackbits instead of a
+    per-token Python bit loop; duplicate tokens weight by count as before.
+    Bit j of the code is set iff sum over tokens of (+1 if bit j of the
+    token hash else -1) is > 0 — recomputable in SQL from md5_number_lower."""
     if not tokens:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for t in tokens:
-        b = t.encode("utf-8")
-        h = (zlib.crc32(b) << 32) | zlib.crc32(b[::-1])
-        bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
-        acc += 2 * bits - 1
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
+    h = np.fromiter((md5_u64(t) for t in tokens), dtype=np.uint64, count=len(tokens))
+    # little-endian byte view -> (n, 64) bit matrix with column j = bit j
+    bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+    acc = 2 * bits.sum(axis=0, dtype=np.int64) - len(tokens)
+    out = int.from_bytes(np.packbits(acc > 0, bitorder="little").tobytes(), "little")
     # wrap to signed int64
     return out - (1 << 64) if out >= (1 << 63) else out
 

@@ -75,19 +75,28 @@ def simhash_codes(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 def simhash_near_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
 ) -> DataFrame:
-    """Hamming-radius pairs: split the 64-bit code into 4 x 16-bit blocks;
-    any pair within hamming distance 3 agrees exactly on >=1 block
-    (pigeonhole), so block-equality buckets are a complete candidate set."""
+    """Hamming-radius pairs: split the 64-bit code into ``max_hamming + 1``
+    blocks; a pair within the radius has fewer differing bits than blocks, so
+    by pigeonhole it agrees exactly on >= 1 block — block-equality buckets
+    are therefore a complete candidate set for ANY radius (a fixed 4-block
+    split is only complete for radius <= 3)."""
+    if not 0 <= max_hamming <= 63:
+        raise ValueError("max_hamming must be in [0, 63]")
+    n_blocks = max_hamming + 1
+    widths = [64 // n_blocks + (1 if i < 64 % n_blocks else 0) for i in range(n_blocks)]
+    offsets = [sum(widths[:i]) for i in range(n_blocks)]
     codes = simhash_codes(df, id_col, text_col)
     blocks = codes.select(
         "id", "simhash",
         *[
-            F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(f"blk{i}")
-            for i in range(4)
+            F.shiftrightunsigned("simhash", offsets[i])
+            .bitwiseAND(F.lit((1 << widths[i]) - 1))
+            .alias(f"blk{i}")
+            for i in range(n_blocks)
         ],
     )
     parts = []
-    for i in range(4):
+    for i in range(n_blocks):
         k = blocks.select(
             "id", "simhash", F.concat(F.lit(f"{i}:"), F.col(f"blk{i}").cast("string")).alias("bk")
         )
@@ -143,6 +152,7 @@ def ngram_jaccard_dedup(
 
 def embedding_near_dup_pairs(
     df: DataFrame,
+    dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
@@ -151,11 +161,14 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Cosine near-dups via random-hyperplane LSH buckets + exact verify.
     Brute force is O(n^2); the bucket join keeps it near-linear for tight
-    thresholds (near-dup vectors almost always share all sign bits)."""
+    thresholds (near-dup vectors almost always share all sign bits).
+
+    ``dim`` is an explicit parameter: probing it with a driver-side
+    ``first()`` action from inside an operator would trigger a hidden job
+    on every call (and the array element count is not in the schema)."""
     import numpy as np
 
     rng = np.random.RandomState(seed)
-    dim = len(df.select(vec_col).first()[0])
     planes = rng.randn(n_planes, dim).tolist()
     bits = [
         (
