@@ -1026,7 +1026,256 @@ def w2b(spark, sf):
 
 # --- rows-only queries (pandas-UDF operators; no SQL-expressible oracle) ---------
 
-@_q("x1_reconcile_flagship")
+def _minhash_perm_values(num_perm: int = 64, seed: int = 42) -> str:
+    """Render the deterministic MinHash affine coefficients as a SQL VALUES
+    list so the DuckDB oracle recomputes the signatures independently."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.functions.hashing import (
+        _perms,
+    )
+
+    a, b = _perms(num_perm, seed)
+    return ", ".join(f"({i}, {int(a[i])}, {int(b[i])})" for i in range(num_perm))
+
+
+def _x1_oracle() -> str:
+    """Full independent DuckDB recompute of the flagship: synthesize the
+    span-derived record fields from documents, rebuild both LSH band
+    families (inlined perm constants), apply the 500-row block cap, join
+    candidate pairs, then score with recursive-CTE InDel and Jaro-Winkler
+    (greedy window matching) plus the fuzzywuzzy token_set_ratio, and the
+    calibrated logistic. Matches plans/reconcile.reconcile(max_block_size=500).
+    """
+    wperms = _minhash_perm_values(64, 42)
+    cperms = _minhash_perm_values(64, 137)
+    return f"""
+WITH RECURSIVE
+wperms(pid, pa, pb) AS (VALUES {wperms}),
+cperms(pid, pa, pb) AS (VALUES {cperms}),
+recs AS (
+  SELECT (CASE WHEN doc_id % 2 = 0 THEN 'pkp' ELSE 'oa' END) AS side,
+         (CASE WHEN doc_id % 2 = 0 THEN 'pkp' ELSE 'oa' END)
+           || ':D' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS id,
+         trim(regexp_replace(regexp_replace(
+           lower(array_to_string(list_slice(string_split(text, ' '), 1, 6), ' ')),
+           '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS norm_title,
+         CAST(NULL AS VARCHAR) AS norm_issn,
+         'journals.' || lower(source) || '.example.org' AS domain,
+         upper(lang) AS country
+  FROM documents
+),
+wtok AS (
+  SELECT id, CASE WHEN len(ws) < 3 THEN array_to_string(ws, ' ')
+              ELSE ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] END AS tok
+  FROM (SELECT id, string_split(norm_title, ' ') AS ws
+        FROM recs WHERE norm_title <> ''),
+       unnest(CASE WHEN len(ws) < 3 THEN [1]
+                   ELSE generate_series(1, len(ws) - 2) END) AS t(i)
+),
+ctok AS (
+  SELECT id, CASE WHEN length(norm_title) < 4 THEN norm_title
+              ELSE substr(norm_title, i, 4) END AS tok
+  FROM recs,
+       unnest(CASE WHEN length(norm_title) < 4 THEN [1]
+                   ELSE generate_series(1, length(norm_title) - 3) END) AS t(i)
+  WHERE norm_title <> ''
+),
+wmins AS (
+  SELECT s.id, p.pid,
+         min(CAST((CAST(p.pa AS HUGEINT) * (md5_number_lower(s.tok) & 4294967295)
+             + p.pb) % 2305843009213693951 AS UBIGINT) & 4294967295) AS mv
+  FROM wtok s CROSS JOIN wperms p GROUP BY s.id, p.pid
+),
+cmins AS (
+  SELECT s.id, p.pid,
+         min(CAST((CAST(p.pa AS HUGEINT) * (md5_number_lower(s.tok) & 4294967295)
+             + p.pb) % 2305843009213693951 AS UBIGINT) & 4294967295) AS mv
+  FROM ctok s CROSS JOIN cperms p GROUP BY s.id, p.pid
+),
+wbands AS (
+  SELECT id, 'band:b' || CAST(pid // 4 AS VARCHAR) || ':' ||
+         string_agg(CAST(mv AS VARCHAR), '-' ORDER BY pid) AS key
+  FROM wmins GROUP BY id, pid // 4
+),
+cbands AS (
+  SELECT id, 'cband:b' || CAST(pid // 4 AS VARCHAR) || ':' ||
+         string_agg(CAST(mv AS VARCHAR), '-' ORDER BY pid) AS key
+  FROM cmins GROUP BY id, pid // 4
+),
+dkeys AS (
+  SELECT id, 'domain:' || domain AS key FROM recs
+  WHERE domain IS NOT NULL AND domain <> ''
+),
+allkeys AS (
+  SELECT k.id, r.side, k.key
+  FROM (SELECT * FROM wbands UNION ALL SELECT * FROM cbands
+        UNION ALL SELECT * FROM dkeys) k
+  JOIN recs r ON r.id = k.id
+),
+kept AS (
+  SELECT id, side, key FROM allkeys
+  QUALIFY count(*) OVER (PARTITION BY key) <= 500
+),
+cand AS (
+  SELECT l.id AS left_id, r.id AS right_id,
+         min(l.key) AS blocking_key, count(*) AS n_shared_keys
+  FROM kept l JOIN kept r ON l.key = r.key
+  WHERE l.side = 'pkp' AND r.side = 'oa'
+  GROUP BY l.id, r.id
+),
+feat AS (
+  SELECT c.*, coalesce(lr.norm_title, '') AS lt, coalesce(rr.norm_title, '') AS rt,
+         lr.norm_issn AS l_issn, rr.norm_issn AS r_issn,
+         lr.domain AS l_domain, rr.domain AS r_domain,
+         lr.country AS l_country, rr.country AS r_country
+  FROM cand c JOIN recs lr ON lr.id = c.left_id
+              JOIN recs rr ON rr.id = c.right_id
+),
+toks AS (
+  SELECT left_id, right_id, tok,
+         bool_or(src = 'a') AS in_a, bool_or(src = 'b') AS in_b
+  FROM (
+    SELECT left_id, right_id, unnest(string_split(lt, ' ')) AS tok, 'a' AS src
+    FROM feat WHERE lt <> rt AND lt <> ''
+    UNION ALL
+    SELECT left_id, right_id, unnest(string_split(rt, ' ')) AS tok, 'b' AS src
+    FROM feat WHERE lt <> rt AND rt <> ''
+  ) GROUP BY left_id, right_id, tok
+),
+tsrparts AS (
+  SELECT left_id, right_id,
+    coalesce(array_to_string(array_agg(tok ORDER BY tok)
+             FILTER (WHERE in_a AND in_b), ' '), '') AS s_inter,
+    coalesce(array_to_string(array_agg(tok ORDER BY tok)
+             FILTER (WHERE in_a AND NOT in_b), ' '), '') AS s_ab,
+    coalesce(array_to_string(array_agg(tok ORDER BY tok)
+             FILTER (WHERE NOT in_a AND in_b), ' '), '') AS s_ba
+  FROM toks GROUP BY left_id, right_id
+),
+tsrstr AS (
+  SELECT left_id, right_id, s_inter, s_ab, s_ba,
+         trim(s_inter || ' ' || s_ab) AS s1,
+         trim(s_inter || ' ' || s_ba) AS s2
+  FROM tsrparts
+),
+needs AS (
+  SELECT DISTINCT lt AS a, rt AS b FROM feat WHERE lt <> rt
+  UNION
+  SELECT DISTINCT s1 AS a, s2 AS b FROM tsrstr
+  WHERE NOT (s_inter <> '' AND (s_ab = '' OR s_ba = ''))
+),
+dp AS (
+  SELECT a, b, 0 AS i,
+         list_transform(generate_series(0, length(b)), j -> j) AS row
+  FROM needs
+  UNION ALL
+  SELECT a, b, i + 1,
+    list_transform(generate_series(0, length(b)), j -> j + list_min(
+      list_transform(generate_series(0, j), k ->
+        (CASE WHEN k = 0 THEN row[1] + 1
+              ELSE least(row[k+1] + 1,
+                         row[k] + CASE WHEN substr(a, i+1, 1) = substr(b, k, 1)
+                                  THEN 0 ELSE 2 END)
+         END) - k)))
+  FROM dp WHERE i < length(a)
+),
+dist AS (
+  SELECT a, b, row[length(b) + 1] AS d FROM dp WHERE i = length(a)
+),
+jneeds AS (SELECT DISTINCT lt AS a, rt AS b FROM feat WHERE lt <> rt),
+jstate AS (
+  SELECT a, b, length(a) AS la, length(b) AS lb,
+         greatest(greatest(length(a), length(b)) // 2 - 1, 0) AS w,
+         0 AS i, CAST([] AS INT[]) AS midx
+  FROM jneeds
+  UNION ALL
+  SELECT a, b, la, lb, w, i + 1,
+    CASE WHEN c IS NULL THEN midx ELSE list_append(midx, c) END
+  FROM (
+    SELECT *, list_min(list_filter(
+        generate_series(greatest(i + 1 - w, 1), least(i + 1 + w, lb)),
+        j -> substr(b, j, 1) = substr(a, i + 1, 1) AND NOT list_contains(midx, j)
+      )) AS c
+    FROM jstate WHERE i < la
+  )
+),
+jaro AS (
+  SELECT a, b,
+    CASE
+      WHEN la = 0 AND lb = 0 THEN 1.0
+      WHEN la = 0 OR lb = 0 THEN 0.0
+      WHEN len(midx) = 0 THEN 0.0
+      ELSE (CAST(len(midx) AS DOUBLE)/la + CAST(len(midx) AS DOUBLE)/lb +
+            (len(midx) - coalesce(list_sum(list_transform(
+               generate_series(1, len(midx)),
+               k -> CASE WHEN substr(b, midx[k], 1)
+                              <> substr(b, list_sort(midx)[k], 1)
+                         THEN 1 ELSE 0 END)), 0) / 2.0)
+            / len(midx)) / 3.0
+    END AS j,
+    la, lb
+  FROM jstate WHERE i = la
+),
+jwv AS (
+  SELECT a, b,
+    CASE WHEN j > 0.7 THEN
+      j + coalesce(list_min(list_filter(generate_series(1, least(4, la, lb)),
+            k -> substr(a, k, 1) <> substr(b, k, 1))) - 1,
+          least(4, la, lb)) * 0.1 * (1.0 - j)
+    ELSE j END AS jw
+  FROM jaro
+),
+scored AS (
+  SELECT f.left_id, f.right_id, f.blocking_key,
+         CAST(f.n_shared_keys AS BIGINT) AS n_shared_keys,
+         CASE WHEN f.lt = f.rt THEN 100.0
+              ELSE round(100.0 * (1.0 - CAST(td.d AS DOUBLE)
+                         / (length(f.lt) + length(f.rt))), 2) END AS title_indel,
+         CASE WHEN f.lt = f.rt THEN 100.0
+              ELSE round(100.0 * jv.jw, 2) END AS title_jw,
+         CASE WHEN f.lt = f.rt THEN 100.0
+              WHEN ts.s_inter <> '' AND (ts.s_ab = '' OR ts.s_ba = '') THEN 100.0
+              ELSE round(greatest(
+                CASE WHEN length(ts.s_inter) + length(ts.s1) = 0 THEN 100.0
+                     ELSE 100.0 * 2.0 * length(ts.s_inter)
+                          / (length(ts.s_inter) + length(ts.s1)) END,
+                CASE WHEN length(ts.s_inter) + length(ts.s2) = 0 THEN 100.0
+                     ELSE 100.0 * 2.0 * length(ts.s_inter)
+                          / (length(ts.s_inter) + length(ts.s2)) END,
+                CASE WHEN length(ts.s1) + length(ts.s2) = 0 THEN 100.0
+                     ELSE 100.0 * (1.0 - CAST(sd.d AS DOUBLE)
+                          / (length(ts.s1) + length(ts.s2))) END), 2) END AS title_tsr,
+         (f.l_issn IS NOT NULL AND f.l_issn IS NOT DISTINCT FROM f.r_issn)
+           AS issn_exact,
+         (f.l_domain IS NOT NULL AND f.l_domain IS NOT DISTINCT FROM f.r_domain)
+           AS domain_match,
+         (f.l_country IS NOT NULL AND f.l_country IS NOT DISTINCT FROM f.r_country)
+           AS country_match
+  FROM feat f
+  LEFT JOIN dist td ON td.a = f.lt AND td.b = f.rt
+  LEFT JOIN jwv jv ON jv.a = f.lt AND jv.b = f.rt
+  LEFT JOIN tsrstr ts ON ts.left_id = f.left_id AND ts.right_id = f.right_id
+  LEFT JOIN dist sd ON sd.a = ts.s1 AND sd.b = ts.s2
+),
+logit AS (
+  SELECT *,
+    round(1.0 / (1.0 + exp(-(-14.0 + 8.0 * title_indel / 100.0
+                             + 3.0 * title_jw / 100.0
+                             + 3.0 * title_tsr / 100.0
+                             + 6.0 * CAST(issn_exact AS DOUBLE)
+                             + 1.5 * CAST(domain_match AS DOUBLE)
+                             + 0.5 * CAST(country_match AS DOUBLE)))), 6)
+      AS match_prob
+  FROM scored
+)
+SELECT left_id, right_id, blocking_key, n_shared_keys,
+       title_indel, title_jw, title_tsr, match_prob,
+       (issn_exact OR match_prob >= 0.5) AS is_match_pred
+FROM logit
+ORDER BY left_id, right_id
+"""
+
+
+@_q("x1_reconcile_flagship", _x1_oracle())
 def x1(spark, sf):
     from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.plans.reconcile import (
         reconcile,
@@ -1038,17 +1287,6 @@ def x1(spark, sf):
         "left_id", "right_id", "blocking_key", "n_shared_keys",
         "title_indel", "title_jw", "title_tsr", "match_prob", "is_match_pred",
     ).orderBy("left_id", "right_id")
-
-
-def _minhash_perm_values(num_perm: int = 64, seed: int = 42) -> str:
-    """Render the deterministic MinHash affine coefficients as a SQL VALUES
-    list so the DuckDB oracle recomputes the signatures independently."""
-    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.functions.hashing import (
-        _perms,
-    )
-
-    a, b = _perms(num_perm, seed)
-    return ", ".join(f"({i}, {int(a[i])}, {int(b[i])})" for i in range(num_perm))
 
 
 def _x2_oracle() -> str:

@@ -75,9 +75,21 @@ def pair_authors_affiliations(documents: DataFrame) -> DataFrame:
 
 
 def dedup_pairs_with_sources(pairs: DataFrame) -> DataFrame:
-    """A2: grouped dedup with source-set union and last-writer-wins original
-    strings (parse_landing_page_html.py:188-228). ``pairs`` must carry a
-    ``source`` column and an arrival-order column ``seq``."""
+    """A2: grouped dedup with source-set union (parse_landing_page_html.py:
+    188-228). ``pairs`` must carry a ``source`` column and an arrival-order
+    column ``seq``.
+
+    Original-string selection mirrors the reference's dict merge exactly:
+    meta rows only set ``original`` on FIRST sight of a key (dict setdefault,
+    py:194-208), while every ul.authors row OVERWRITES it (py:210-219) — so
+    the winner is the latest ul row if any, else the earliest meta row.
+    Encoded as one max_by over (is_ul, is_ul ? seq : -seq)."""
+    pref = F.struct(
+        (F.col("source") == "ul.authors").cast("int").alias("is_ul"),
+        F.when(F.col("source") == "ul.authors", F.col("seq"))
+        .otherwise(-F.col("seq"))
+        .alias("adj_seq"),
+    )
     return (
         pairs.groupBy(
             "doc_id",
@@ -86,8 +98,8 @@ def dedup_pairs_with_sources(pairs: DataFrame) -> DataFrame:
         )
         .agg(
             F.array_join(F.array_sort(F.collect_set("source")), ";").alias("sources"),
-            F.max_by("author", F.col("seq")).alias("author"),
-            F.max_by("institution", F.col("seq")).alias("institution"),
+            F.max_by("author", pref).alias("author"),
+            F.max_by("institution", pref).alias("institution"),
         )
         .drop("author_key", "institution_key")
     )
