@@ -1024,6 +1024,110 @@ def w2b(spark, sf):
     ).orderBy("doc_id", "author_pos", "institution")
 
 
+@_q(
+    "f20_html_extract",
+    # Independent expected-output construction: the HTML below is synthesized
+    # deterministically from documents columns, so the oracle derives the
+    # merged (doi, author, institution, sources) rows directly from the same
+    # columns — the Spark side must parse them back out of real HTML through
+    # the pandas-UDF extractor + distributed dict-merge to agree.
+    """WITH m AS (
+         SELECT doc_id,
+                '10.' || CAST(500 + doc_id % 100 AS VARCHAR)
+                  || '/art.' || CAST(doc_id AS VARCHAR) AS doi,
+                doc_id % 3 + 1 AS n_auth
+         FROM documents
+       ),
+       meta_rows AS (
+         SELECT doc_id, doi,
+                'A' || CAST(doc_id AS VARCHAR) || '_' || CAST(j AS VARCHAR) AS author,
+                CASE WHEN j % 2 = 0
+                     THEN 'Inst' || CAST(doc_id AS VARCHAR) || '_' || CAST(j AS VARCHAR)
+                     ELSE '' END AS institution,
+                'meta' AS src
+         FROM m, unnest(generate_series(0, n_auth - 1)) AS t(j)
+       ),
+       ul_rows AS (
+         SELECT doc_id, doi, 'A' || CAST(doc_id AS VARCHAR) || '_0' AS author,
+                CASE WHEN doc_id % 4 = 0
+                     THEN 'Inst' || CAST(doc_id AS VARCHAR) || '_0'
+                     ELSE 'UlInst' || CAST(doc_id AS VARCHAR) END AS institution,
+                'ul.authors' AS src
+         FROM m WHERE doc_id % 2 = 0
+         UNION ALL
+         SELECT doc_id, doi, 'U' || CAST(doc_id AS VARCHAR), '', 'ul.authors'
+         FROM m WHERE doc_id % 2 = 0
+       )
+       SELECT doc_id, doi, author, institution,
+              CASE WHEN count(DISTINCT src) = 2 THEN 'meta;ul.authors'
+                   ELSE min(src) END AS sources
+       FROM (SELECT * FROM meta_rows UNION ALL SELECT * FROM ul_rows)
+       GROUP BY doc_id, doi, author, institution
+       ORDER BY doc_id, author, institution""",
+)
+def f20(spark, sf):
+    # F20: synthesize real HTML landing pages from documents, then run the
+    # full distributed extraction path: filename-DOI decode + meta state
+    # machine + ul.authors walk (pandas UDF) -> distributed dict merge (A2).
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.operators.html_extract import (
+        extract_html_pairs,
+    )
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.operators.span_pairing import (
+        dedup_pairs_with_sources,
+    )
+
+    d = _t(spark, sf, "documents")
+    sid = F.col("doc_id").cast("string")
+    doi = F.concat(F.lit("10."), (F.col("doc_id") % 100 + 500).cast("string"),
+                   F.lit("/art."), sid)
+    fname = F.concat(F.translate(F.base64(doi.cast("binary")), "+/", "-_"),
+                     F.lit(".html"))
+    meta_a = lambda j: F.concat(  # noqa: E731
+        F.lit('<meta name="citation_author" content="A'), sid, F.lit(f'_{j}">'))
+    meta_i = lambda j: F.concat(  # noqa: E731
+        F.lit('<meta name="citation_author_institution" content="Inst'),
+        sid, F.lit(f'_{j}">'))
+    block = lambda j: F.when(  # noqa: E731
+        F.col("doc_id") % 3 + 1 > j,
+        F.concat(meta_a(j), meta_i(j) if j % 2 == 0 else F.lit("")),
+    ).otherwise(F.lit(""))
+    orphan = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.lit('<meta name="citation_author_institution" content="Orphan">'),
+    ).otherwise(F.lit(""))
+    ul_inst0 = F.when(
+        F.col("doc_id") % 4 == 0, F.concat(F.lit("Inst"), sid, F.lit("_0"))
+    ).otherwise(F.concat(F.lit("UlInst"), sid))
+    ul = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit('<ul class="authors"><li><span class="name">A'), sid,
+            F.lit('_0</span><span class="affiliation">'), ul_inst0,
+            F.lit('</span></li><li><span class="name">U'), sid,
+            F.lit('</span></li></ul>'),
+        ),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit('<html><head><meta charset="utf-8">'), orphan,
+        F.lit('<meta name="citation_author" content="   ">'),
+        block(0), block(1), block(2),
+        F.lit("</head><body>"), ul, F.lit("</body></html>"),
+    )
+    pages = d.select("doc_id", fname.alias("file_name"), html.alias("html"))
+    ex = extract_html_pairs(pages)
+    merged = dedup_pairs_with_sources(
+        ex.where(F.col("author").isNotNull()).select(
+            "doc_id", "author", "institution", "source", "seq"
+        )
+    )
+    dois = ex.select("doc_id", "doi").distinct()
+    return (
+        merged.join(dois, "doc_id")
+        .select("doc_id", "doi", "author", "institution", "sources")
+        .orderBy("doc_id", "author", "institution")
+    )
+
+
 # --- rows-only queries (pandas-UDF operators; no SQL-expressible oracle) ---------
 
 def _minhash_perm_values(num_perm: int = 64, seed: int = 42) -> str:
