@@ -24,39 +24,92 @@ from __future__ import annotations
 import re
 import unicodedata
 
-# Latin characters that NFKD does not decompose, mapped as unidecode does.
+# Characters that NFKD does not decompose, mapped as unidecode does.
+# Latin letters first; Greek and Cyrillic follow the standard ALA-LC
+# romanizations that unidecode's tables implement (Text::Unidecode x03/x04).
 _FOLD_TABLE = {
-    "Ø": "O", "ø": "o",       # Ø ø
-    "Æ": "AE", "æ": "ae",     # Æ æ
-    "Œ": "OE", "œ": "oe",     # Œ œ
-    "ß": "ss",                      # ß
-    "Ð": "D", "ð": "d",       # Ð ð
-    "Þ": "Th", "þ": "th",     # Þ þ
-    "Đ": "D", "đ": "d",       # Đ đ
-    "Ł": "L", "ł": "l",       # Ł ł
-    "Ħ": "H", "ħ": "h",       # Ħ ħ
-    "Ŧ": "T", "ŧ": "t",       # Ŧ ŧ
-    "ı": "i",                       # ı
-    "Ŋ": "NG", "ŋ": "ng",     # Ŋ ŋ
-    "‘": "'", "’": "'",       # ‘ ’
-    "“": '"', "”": '"',       # “ ”
-    "–": "-", "—": "-",       # – —
-    "·": "*",                       # · (unidecode: '*')
-    "…": "...",                     # …
-    " ": " ",                       # nbsp
+    # Latin (no NFKD decomposition)
+    "\u00d8": "O", "\u00f8": "o",
+    "\u00c6": "AE", "\u00e6": "ae",
+    "\u0152": "OE", "\u0153": "oe",
+    "\u00df": "ss",
+    "\u00d0": "D", "\u00f0": "d",
+    "\u00de": "Th", "\u00fe": "th",
+    "\u0110": "D", "\u0111": "d",
+    "\u0141": "L", "\u0142": "l",
+    "\u0126": "H", "\u0127": "h",
+    "\u0166": "T", "\u0167": "t",
+    "\u0131": "i",
+    "\u0138": "k",
+    "\u014a": "NG", "\u014b": "ng",
+    # punctuation / symbols
+    "\u2018": "'", "\u2019": "'",
+    "\u201c": '"', "\u201d": '"',
+    "\u2013": "-", "\u2014": "-",
+    "\u00b7": "*",
+    "\u00d7": "x",
+    # Greek -> ALA-LC (accented forms NFKD-decompose to these bases first)
+    "\u0391": "A", "\u0392": "B", "\u0393": "G", "\u0394": "D",
+    "\u0395": "E", "\u0396": "Z", "\u0397": "E", "\u0398": "Th",
+    "\u0399": "I", "\u039a": "K", "\u039b": "L", "\u039c": "M",
+    "\u039d": "N", "\u039e": "X", "\u039f": "O", "\u03a0": "P",
+    "\u03a1": "R", "\u03a3": "S", "\u03a4": "T", "\u03a5": "U",
+    "\u03a6": "Ph", "\u03a7": "Kh", "\u03a8": "Ps", "\u03a9": "O",
+    "\u03b1": "a", "\u03b2": "b", "\u03b3": "g", "\u03b4": "d",
+    "\u03b5": "e", "\u03b6": "z", "\u03b7": "e", "\u03b8": "th",
+    "\u03b9": "i", "\u03ba": "k", "\u03bb": "l", "\u03bc": "m",
+    "\u03bd": "n", "\u03be": "x", "\u03bf": "o", "\u03c0": "p",
+    "\u03c1": "r", "\u03c3": "s", "\u03c2": "s", "\u03c4": "t",
+    "\u03c5": "u", "\u03c6": "ph", "\u03c7": "kh", "\u03c8": "ps",
+    "\u03c9": "o",
+    # Cyrillic -> ALA-LC
+    "\u0410": "A", "\u0411": "B", "\u0412": "V", "\u0413": "G",
+    "\u0414": "D", "\u0415": "E", "\u0416": "Zh", "\u0417": "Z",
+    "\u0418": "I", "\u0419": "I", "\u041a": "K", "\u041b": "L",
+    "\u041c": "M", "\u041d": "N", "\u041e": "O", "\u041f": "P",
+    "\u0420": "R", "\u0421": "S", "\u0422": "T", "\u0423": "U",
+    "\u0424": "F", "\u0425": "Kh", "\u0426": "Ts", "\u0427": "Ch",
+    "\u0428": "Sh", "\u0429": "Shch", "\u042a": "'", "\u042b": "Y",
+    "\u042c": "'", "\u042d": "E", "\u042e": "Iu", "\u042f": "Ia",
+    "\u0430": "a", "\u0431": "b", "\u0432": "v", "\u0433": "g",
+    "\u0434": "d", "\u0435": "e", "\u0436": "zh", "\u0437": "z",
+    "\u0438": "i", "\u0439": "i", "\u043a": "k", "\u043b": "l",
+    "\u043c": "m", "\u043d": "n", "\u043e": "o", "\u043f": "p",
+    "\u0440": "r", "\u0441": "s", "\u0442": "t", "\u0443": "u",
+    "\u0444": "f", "\u0445": "kh", "\u0446": "ts", "\u0447": "ch",
+    "\u0448": "sh", "\u0449": "shch", "\u044a": "'", "\u044b": "y",
+    "\u044c": "'", "\u044d": "e", "\u044e": "iu", "\u044f": "ia",
+    # Ukrainian / Belarusian / Serbian extras
+    "\u0404": "Ie", "\u0454": "ie", "\u0406": "I", "\u0456": "i",
+    "\u0407": "I", "\u0457": "i", "\u0490": "G", "\u0491": "g",
+    "\u040e": "U", "\u045e": "u", "\u0402": "Dj", "\u0452": "dj",
+    "\u0409": "Lj", "\u0459": "lj", "\u040a": "Nj", "\u045a": "nj",
+    "\u040f": "Dz", "\u045f": "dz",
+    "\u040b": "C", "\u045b": "c", "\u0403": "G", "\u0453": "g",
+    "\u040c": "K", "\u045c": "k", "\u0405": "Dz", "\u0455": "dz",
 }
-_FOLD_RX = re.compile("|".join(map(re.escape, _FOLD_TABLE)))
 
 
 def ascii_fold(s: str) -> str:
-    """Transliterate to ASCII (unidecode stand-in for Latin scripts)."""
+    """Transliterate to ASCII (unidecode stand-in for Latin, Greek and
+    Cyrillic scripts).
+
+    NFKD first (so accented Greek/Cyrillic/Latin decompose to a base letter
+    plus combining marks, and compatibility forms like ellipsis or NBSP
+    expand), then a per-char table fold of the remaining non-ASCII bases,
+    dropping combining marks. Characters of unmapped scripts (CJK etc.) are
+    dropped, as documented in SURVEY risk (a)."""
     if not s:
         return s or ""
     if s.isascii():  # fast path: the dominant case in Latin-script corpora
         return s
-    s = _FOLD_RX.sub(lambda m: _FOLD_TABLE[m.group(0)], s)
-    s = unicodedata.normalize("NFKD", s)
-    return "".join(c for c in s if ord(c) < 128 and not unicodedata.combining(c))
+    out = []
+    for c in unicodedata.normalize("NFKD", s):
+        if ord(c) < 128:
+            out.append(c)
+        elif not unicodedata.combining(c):
+            out.append(_FOLD_TABLE.get(c, ""))
+    return "".join(out)
 
 
 _NON_ALNUM_RX = re.compile(r"[^a-z0-9\s]")
