@@ -14,8 +14,11 @@ aggregate) — no Python in the scoring loop.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _dot(a, b):
@@ -53,16 +56,40 @@ def brute_force_topk(
     )
 
 
+def _nearest_cells_udf(centroids: list[tuple[int, list[float]]], n: int):
+    """Arrow-batched nearest-centroid picker: the centroid matrix travels in
+    the UDF closure (serialized once per executor), the batch of vectors is
+    one numpy matmul — map-only, no join, no O(cells x dim) literals in the
+    plan. Ordering matches the previous literal-struct argmax: cosine rounded
+    to 9, ties broken toward the larger cell id."""
+    cids = np.array([cid for cid, _ in centroids], dtype=np.int64)
+    mat = np.array([v for _, v in centroids], dtype=np.float64)
+    cn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def pick(vecs: pd.Series) -> pd.Series:
+        v = np.array(vecs.tolist(), dtype=np.float64)  # (b, dim)
+        vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-300)
+        sims = np.round(vn @ cn.T, 9)  # (b, cells)
+        # desc by sim, ties desc by cell id (reverse(array_sort) parity)
+        order = np.lexsort((-cids[None, :].repeat(len(v), 0), -sims), axis=1)
+        top = order[:, :n]
+        return pd.Series([cids[row].astype(int).tolist() for row in top],
+                         index=vecs.index)
+
+    return pick
+
+
 def build_ivf_index(
     vectors: DataFrame, n_cells: int = 16,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
-    """Deterministic coarse quantizer: centroids = the n_cells vectors with the
-    smallest md5(id) (a seeded sample without an RNG), then one assignment
-    pass. Returns (assigned vectors with cell ids, centroid list).
-
-    At 100 TB the centroid list stays tiny (thousands) and is broadcast; the
-    assignment is map-only."""
+    """Deterministic coarse quantizer: centroids = the n_cells vectors with
+    the smallest md5(id). ``orderBy(...).limit(n)`` compiles to
+    TakeOrderedAndProject (per-partition top-n + driver merge — NOT a global
+    sort), and only n_cells rows ever reach the driver. Assignment is a
+    map-only Arrow-batched argmax against the closure-captured centroid
+    matrix, so the plan stays O(1) regardless of n_cells x dim."""
     cent_rows = (
         vectors.select(id_col, vec_col)
         .orderBy(F.md5(F.col(id_col).cast("string")))
@@ -70,19 +97,8 @@ def build_ivf_index(
         .collect()
     )
     centroids = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(cent_rows)]
-
-    def best_cell(vec_col_name: str):
-        sims = [
-            F.struct(
-                F.round(cosine(F.col(vec_col_name), F.array(*[F.lit(v) for v in cvec])), 9)
-                .alias("s"),
-                F.lit(cid).alias("cid"),
-            )
-            for cid, cvec in centroids
-        ]
-        return F.array_max(F.array(*sims))["cid"]
-
-    assigned = vectors.withColumn("cell", best_cell(vec_col))
+    pick1 = _nearest_cells_udf(centroids, 1)
+    assigned = vectors.withColumn("cell", pick1(F.col(vec_col))[0])
     return assigned, centroids
 
 
@@ -93,17 +109,8 @@ def ivf_topk(
     q_id_col: str = "q_id", q_vec_col: str = "q_vec",
 ) -> DataFrame:
     """Approximate top-k: each query probes its n_probe nearest cells only."""
-    sims = [
-        F.struct(
-            F.round(cosine(F.col(q_vec_col), F.array(*[F.lit(v) for v in cvec])), 9).alias("s"),
-            F.lit(cid).alias("cid"),
-        )
-        for cid, cvec in centroids
-    ]
-    probe_cells = F.slice(
-        F.reverse(F.array_sort(F.array(*sims))), 1, n_probe
-    )
-    q = queries.withColumn("cell", F.explode(F.transform(probe_cells, lambda s: s["cid"])))
+    pick = _nearest_cells_udf(centroids, n_probe)
+    q = queries.withColumn("cell", F.explode(pick(F.col(q_vec_col))))
     joined = assigned.join(q, "cell", "inner")
     scored = joined.select(
         F.col(q_id_col), F.col(id_col),
