@@ -100,6 +100,13 @@ def parse_float_default0(v: Column) -> Column:
     return F.coalesce(F.try_cast(v, "double"), F.lit(0.0))
 
 
+# P8 — content-type predicate (retrieve_landing_pages.py:56-63,
+# retrieve_pkp_work_url_download_pdf.py:40-44): substring match on the
+# lowercased header, so 'text/html; charset=utf-8' passes 'text/html'.
+def content_type_is(ct: Column, wanted: str) -> Column:
+    return F.coalesce(F.lower(ct), F.lit("")).contains(wanted.lower())
+
+
 # F18 — filename sanitize (retrieve_landing_pages.py:31-36)
 def sanitize_filename(s: Column) -> Column:
     x = F.regexp_replace(s, "/", "_")

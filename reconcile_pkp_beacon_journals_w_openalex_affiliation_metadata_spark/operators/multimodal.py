@@ -81,9 +81,13 @@ def attach_extracted_text(documents: DataFrame) -> DataFrame:
     """Rewrite each media span's text with the extracted text, keeping the
     span sequence (kind, media_ref, offset) bit-identical — the per-row
     invariant. Order-preserving: transform() only, no explode/regroup."""
+    # array_distinct before map_from_entries: a document with two media spans
+    # sharing a media_ref would otherwise hit Spark's default
+    # mapKeyDedupPolicy=EXCEPTION at runtime (decode is deterministic per
+    # ref, so duplicate entries are identical structs).
     extracted = extract_media_text(documents).groupBy("doc_id").agg(
         F.map_from_entries(
-            F.collect_list(F.struct("media_ref", "extracted_text"))
+            F.array_distinct(F.collect_list(F.struct("media_ref", "extracted_text")))
         ).alias("media_text")
     )
     joined = documents.join(extracted, "doc_id", "left")

@@ -45,8 +45,14 @@ class Catalog:
         self, df: DataFrame, name: str, partition_by: list[str] | None = None,
         meta: dict | None = None,
     ) -> None:
-        """Write + atomic publish. A crash mid-write leaves no _COMMIT marker,
-        so a restart recomputes the stage from the previous checkpoint."""
+        """Write + atomic publish. Invariant at every crash point: the
+        committed state is marker-AND-data or neither.
+
+        Overwrite order matters: the old _COMMIT marker is removed BEFORE
+        the old data dir is deleted (a crash in between leaves an
+        uncommitted table that a restart recomputes, never a committed
+        table with missing data), and the new marker is published via
+        write-to-temp + os.replace so readers never see a torn marker."""
         tdir = self._dir(name)
         staging = os.path.join(tdir, f"_staging_{uuid.uuid4().hex[:8]}")
         data = os.path.join(tdir, "data")
@@ -54,11 +60,18 @@ class Catalog:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(staging)
+        marker = self._marker(name)
+        if os.path.exists(marker):
+            os.remove(marker)  # demote to uncommitted before touching data
         if os.path.exists(data):
             shutil.rmtree(data)
         os.replace(staging, data)
-        with open(self._marker(name), "w") as f:
+        tmp_marker = marker + f".tmp_{uuid.uuid4().hex[:8]}"
+        with open(tmp_marker, "w") as f:
             json.dump({"table": name, "meta": meta or {}}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp_marker, marker)
 
     def read_committed(self, spark: SparkSession, name: str) -> DataFrame | None:
         if not self.is_committed(name):

@@ -58,3 +58,14 @@ def read_whole_files(spark: SparkSession, path: str, glob: str | None = None) ->
 def read_whole_text(spark: SparkSession, path: str) -> DataFrame:
     """S7 (text flavor): one row per file, full content in ``value``."""
     return spark.read.option("wholetext", True).text(path)
+
+
+def with_deterministic_file_order(df: DataFrame, col: str = "_input_file") -> DataFrame:
+    """O2: stable per-file processing order (vlm_text_extractor.py:608 sorts
+    the file list before iterating). Spark's scan order is nondeterministic
+    across runs/partitionings; tagging each row with ``input_file_name()``
+    and sorting on it restores a deterministic total file order for
+    order-sensitive sinks (one-file-per-record layouts, progress logs)."""
+    from pyspark.sql import functions as F
+
+    return df.withColumn(col, F.input_file_name()).orderBy(col)
