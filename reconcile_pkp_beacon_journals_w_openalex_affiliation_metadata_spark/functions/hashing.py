@@ -45,12 +45,27 @@ def _perms(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     return _PERM_CACHE[key]
 
 
+# Per-worker memo: token -> 32-bit hash. Char n-grams and stop-word shingles
+# repeat massively across a corpus, and Spark reuses Python workers across
+# Arrow batches, so the md5 cost amortizes to a dict hit. Bounded: cleared
+# when it exceeds ~2M entries (worst case a few hundred MB, typical far less).
+_H32_MEMO: dict[str, int] = {}
+_H32_MEMO_MAX = 2_000_000
+
+
 def token_hashes(tokens: list[str]) -> np.ndarray:
     """Stable 32-bit hashes of tokens (md5 lower-64 masked to 32 bits —
     ``md5_number_lower(t) & 0xFFFFFFFF`` in DuckDB)."""
-    return np.fromiter(
-        (md5_u64(t) & 0xFFFFFFFF for t in tokens), dtype=np.uint64, count=len(tokens)
-    )
+    memo = _H32_MEMO
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        h = memo.get(t)
+        if h is None:
+            if len(memo) >= _H32_MEMO_MAX:
+                memo.clear()
+            h = memo[t] = md5_u64(t) & 0xFFFFFFFF
+        out[i] = h
+    return out
 
 
 def shingles(text: str, k: int = 3) -> list[str]:

@@ -52,12 +52,18 @@ def minhash_lsh_pairs(
     bands_udf = make_minhash_bands_udf(num_perm=num_perm, bands=bands, shingle_k=shingle_k)
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     keys = df.select(F.col(id_col).alias("id"), F.explode(bands_udf(norm)).alias("band"))
-    sizes = keys.groupBy("band").count()
-    keys = keys.join(
-        F.broadcast(sizes.where(F.col("count") <= max_band_size).select("band")),
-        "band", "inner",
+    # cap as a window count over the band shuffle: the UDF pass and the
+    # exchange happen ONCE (both self-join sides consume the same
+    # ReusedExchange), instead of a separate size-measuring aggregation +
+    # broadcast join that re-evaluates the banding UDF over the corpus
+    from pyspark.sql import Window
+
+    kept = (
+        keys.withColumn("_bs", F.count("*").over(Window.partitionBy("band")))
+        .where(F.col("_bs") <= max_band_size)
+        .drop("_bs")
     )
-    a, b = keys.alias("a"), keys.alias("b")
+    a, b = kept.alias("a"), kept.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("left_id"), F.col("b.id").alias("right_id"))
