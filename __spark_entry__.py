@@ -1201,9 +1201,10 @@ wbands AS (
   FROM wmins GROUP BY id, pid // 4
 ),
 cbands AS (
-  SELECT id, 'cband:b' || CAST(pid // 4 AS VARCHAR) || ':' ||
+  -- char family is 8 bands x 8 rows (precision at scale; see blocking.py)
+  SELECT id, 'cband:b' || CAST(pid // 8 AS VARCHAR) || ':' ||
          string_agg(CAST(mv AS VARCHAR), '-' ORDER BY pid) AS key
-  FROM cmins GROUP BY id, pid // 4
+  FROM cmins GROUP BY id, pid // 8
 ),
 dkeys AS (
   SELECT id, 'domain:' || domain AS key FROM recs

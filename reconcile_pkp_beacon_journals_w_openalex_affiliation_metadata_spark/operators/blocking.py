@@ -19,6 +19,14 @@ MINHASH_NUM_PERM = 64
 MINHASH_BANDS = 16
 MINHASH_SHINGLE_K = 3
 CHAR_NGRAM_K = 4
+# char family: FEWER, WIDER bands (8x8 vs the word family's 16x4). Char
+# 4-gram Jaccard between *different* titles drawn from a shared vocabulary is
+# high (reordered words keep most 4-grams), so 4-row bands collide at ~1%
+# pairwise - which is quadratic pair volume at corpus scale (measured 24x
+# candidate blow-up at 583k records). 8-row bands drop unrelated collisions
+# below measurement (0/400) while keeping union typo recall at 97% on the
+# blocking-recall property test.
+MINHASH_CHAR_BANDS = 8
 
 
 def blocking_keys(
@@ -68,7 +76,7 @@ def blocking_keys(
         # word-shingles at once and make the word family miss (~20% of
         # indel>=90 pairs in the recall property test without this family)
         cbands_udf = make_minhash_bands_udf(
-            num_perm=MINHASH_NUM_PERM, bands=MINHASH_BANDS,
+            num_perm=MINHASH_NUM_PERM, bands=MINHASH_CHAR_BANDS,
             shingle_k=CHAR_NGRAM_K, seed=137, tokenizer="char",
         )
         parts.append(

@@ -38,17 +38,22 @@ _ROW_KEY = ["RelativeFilePath", "DOI", "Author", "Institution", "Source"]
 def compare_landing_to_works(landing: DataFrame, works: DataFrame) -> DataFrame:
     """landing (LANDING_PAIRS schema) x works (OPENALEX_WORKS schema) ->
     landing rows + the reference's 8 match columns."""
-    # P3: DOI format filter (check:66-71); group key = trimmed DOI (:72-74)
+    # P3: DOI format filter (check:66-71); group key = trimmed DOI (:72-74).
+    # Identical landing rows produce identical outputs, so they are collapsed
+    # to one representative (+ count) and re-expanded at the end — the
+    # reference emits one output row per input row. This replaces a
+    # monotonically_increasing_id row handle, whose values shift under task
+    # retry of a non-deterministic upstream; row CONTENT is retry-stable,
+    # and the downstream windows partition on it directly.
     rows = (
         landing.where(
             F.col("DOI").isNotNull() & F.trim(F.col("DOI")).startswith("10.")
         )
+        .groupBy(*_ROW_KEY)
+        .agg(F.count("*").alias("_dup_n"))
         .withColumn("doi_key", F.trim(F.col("DOI")))
         .withColumn("csv_author_norm", norm_text_udf(F.col("Author")))
         .withColumn("csv_inst_norm", norm_text_udf(F.col("Institution")))
-        # unique row handle so duplicate landing rows each keep their own
-        # best-match (the reference emits one output row per input row)
-        .withColumn("row_uid", F.monotonically_increasing_id())
     )
 
     # S8 as a join: the API lookup keyed by cleaned DOI. Works-side key uses
@@ -84,9 +89,9 @@ def compare_landing_to_works(landing: DataFrame, works: DataFrame) -> DataFrame:
     )
 
     # W1: first-max via strict '>' (check:163-169) == order by score desc,
-    # idx asc, take row 1. Identical landing rows get identical results, so
-    # partitioning by row content is safe (reference emits per input row).
-    w = Window.partitionBy("row_uid").orderBy(
+    # idx asc, take row 1. Partitioned by row content (rows are distinct
+    # after the collapse above).
+    w = Window.partitionBy(*_ROW_KEY).orderBy(
         F.col("a_score").desc_nulls_last(), F.col("auth_idx").asc_nulls_last()
     )
     best = (
@@ -105,6 +110,7 @@ def compare_landing_to_works(landing: DataFrame, works: DataFrame) -> DataFrame:
     norm_affils_empty = F.size("norm_affils") == 0
 
     out = best.select(
+        "_dup_n",
         *_ROW_KEY,
         # author columns (check:192-201); defaults when no best (check:143-149)
         F.when(
@@ -161,4 +167,8 @@ def compare_landing_to_works(landing: DataFrame, works: DataFrame) -> DataFrame:
         .otherwise(F.lit(""))
         .alias("openalex_matched_institution_strings"),
     )
-    return out
+    # re-expand collapsed duplicates: one output row per input row
+    return (
+        out.withColumn("_i", F.explode(F.sequence(F.lit(1), F.col("_dup_n"))))
+        .drop("_dup_n", "_i")
+    )

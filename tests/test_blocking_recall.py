@@ -23,7 +23,7 @@ def _bands(title: str) -> set[str]:
     char = {
         "cband:" + b
         for b in hashing.minhash_bands(
-            hashing.char_ngrams(norm, 4), num_perm=64, bands=16, seed=137
+            hashing.char_ngrams(norm, 4), num_perm=64, bands=8, seed=137
         )
     }
     return word | char

@@ -190,3 +190,44 @@ def test_attach_extracted_text_duplicate_media_ref(spark):
     want = fake_decode("img://d1/1")
     assert spans[0]["text"] == want and spans[2]["text"] == want
     assert spans[1]["text"] == "hello"
+
+
+# --- S6 one-file-per-record sink -----------------------------------------------
+
+
+def test_sanitize_prefix_reference_parity():
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.sources.sinks import (
+        sanitize_prefix,
+    )
+
+    assert sanitize_prefix("10.1234/abc") == "10.1234_abc"
+    assert sanitize_prefix("we?ird name") == "we_ird_name"
+    assert sanitize_prefix(".hidden") == "_.hidden"
+    assert sanitize_prefix("...") == "_..."
+    assert sanitize_prefix("") == "unknown_sanitized_prefix"
+
+
+def test_write_one_file_per_record(spark, tmp_path):
+    import base64 as b64
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.sources.sinks import (
+        write_one_file_per_record,
+    )
+
+    rows = [
+        ("m1", "10.1", "10.1/a", "<html>A</html>"),
+        ("m1", "10.1", "10.1/b", "<html>B</html>"),
+        ("m2", "we?ird", "10.2/c", "<html>C</html>"),
+    ]
+    df = spark.createDataFrame(rows, "member_id string, prefix string, doi string, body string")
+    out = write_one_file_per_record(df, str(tmp_path))
+    written = {r["doi"]: r for r in out.collect()}
+    assert len(written) == 3
+    p = written["10.1/a"]["path"]
+    assert p.endswith(b64.urlsafe_b64encode(b"10.1/a").decode() + ".html")
+    assert "/m1/10.1_" in p.replace(str(tmp_path), "")
+    with open(p) as f:
+        assert f.read() == "<html>A</html>"
+    assert written["10.2/c"]["path"].count("we_ird") == 1
+    # resume shape: written paths join back as the done-set (S12)
+    assert out.select("doi").distinct().count() == 3

@@ -206,3 +206,26 @@ def test_cross_check_vs_span_model(spark):  # noqa: F811
 def test_parser_never_raises(junk):
     meta, ul, ha, hi = parse_landing_page(junk)
     assert meta == [] and ul == []
+
+
+def test_dedup_original_selection_first_meta_last_ul(spark):
+    """Differing raw strings within one trimmed key: meta keeps the FIRST
+    original (dict setdefault, py:194-208), ul.authors rows OVERWRITE it
+    (py:210-219) — regardless of seq interleaving."""
+    rows = [
+        # doc A: two meta raws differing in whitespace -> first wins
+        ("A", " X", "Z ", "meta", 0),
+        ("A", "X ", " Z", "meta", 1),
+        # doc B: meta then ul with a different raw -> last ul wins
+        ("B", " X", "Z ", "meta", 0),
+        ("B", "X ", " Z", "ul.authors", 1),
+        ("B", "X", "Z", "ul.authors", 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, author string, institution string, source string, seq int"
+    )
+    got = {r["doc_id"]: r for r in dedup_pairs_with_sources(df).collect()}
+    assert (got["A"]["author"], got["A"]["institution"]) == (" X", "Z ")
+    assert got["A"]["sources"] == "meta"
+    assert (got["B"]["author"], got["B"]["institution"]) == ("X", "Z")
+    assert got["B"]["sources"] == "meta;ul.authors"

@@ -99,7 +99,14 @@ def prep() -> None:
     cand = P.candidate_pairs(keys, hot_pair_threshold=100_000, max_block_size=2000)
     cand.write.mode("overwrite").parquet(f"{PREP_DIR}/candidates.parquet")
     recs.write.mode("overwrite").parquet(f"{PREP_DIR}/records.parquet")
-    print(json.dumps({"prep": "ok", "n_docs": docs.count()}))
+    n_docs = docs.count()
+    n_cand = spark.read.parquet(f"{PREP_DIR}/candidates.parquet").count()
+    # pairs-per-record is the blocking-precision canary: a jump here means a
+    # band family started over-generating (caught a 24x blow-up in r2)
+    print(json.dumps({
+        "prep": "ok", "n_docs": n_docs, "n_candidates": n_cand,
+        "pairs_per_record": round(n_cand / max(n_docs, 1), 2),
+    }))
 
 
 def leg_layer1(cores: int) -> dict:
