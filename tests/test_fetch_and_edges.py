@@ -225,7 +225,7 @@ def test_write_one_file_per_record(spark, tmp_path):
     assert len(written) == 3
     p = written["10.1/a"]["path"]
     assert p.endswith(b64.urlsafe_b64encode(b"10.1/a").decode() + ".html")
-    assert "/m1/10.1_" in p.replace(str(tmp_path), "")
+    assert "/m1/10.1/" in p.replace(str(tmp_path), "")
     with open(p) as f:
         assert f.read() == "<html>A</html>"
     assert written["10.2/c"]["path"].count("we_ird") == 1
