@@ -1626,6 +1626,122 @@ ORDER BY id
 """
 
 
+def _x7_oracle() -> str:
+    # Same planes as x4 (RandomState(7)); threshold filter instead of top-k.
+    import numpy as np
+
+    planes = np.random.RandomState(7).randn(8, 64)
+    arr = lambda p: "[" + ", ".join(repr(float(v)) for v in p) + "]"  # noqa: E731
+    bucket = " || ".join(
+        f"(CASE WHEN list_dot_product(v, {arr(p)}) > 0 THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bucket} AS bucket FROM e)
+SELECT a.vec_id AS left_id, b2.vec_id AS right_id,
+       round(list_cosine_similarity(a.v, b2.v), 6) AS cos_sim
+FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+WHERE round(list_cosine_similarity(a.v, b2.v), 6) >= 0.3
+ORDER BY left_id, right_id
+"""
+
+
+@_q("x7_embedding_near_dup", _x7_oracle())
+def x7(spark, sf):
+    # embedding near-dup pairs via the production operator (hyperplane-LSH
+    # buckets + exact cosine verify); dim passed explicitly (no driver probe)
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    return embedding_near_dup_pairs(emb, dim=64, threshold=0.3).orderBy(
+        "left_id", "right_id"
+    )
+
+
+def _t8_oracle() -> str:
+    # block-then-verify: the capped MinHash-LSH candidates (x2's CTE chain)
+    # verified by exact character-3-gram Jaccard computed from scratch.
+    return f"""
+WITH perms(perm_id, pa, pb) AS (VALUES {_minhash_perm_values(64, 42)}),
+norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS n
+  FROM documents
+),
+words AS (SELECT doc_id, string_split(n, ' ') AS ws FROM norm WHERE n <> ''),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) < 3 THEN array_to_string(ws, ' ')
+              ELSE ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] END AS shingle
+  FROM words,
+       unnest(CASE WHEN len(ws) < 3 THEN [1]
+                   ELSE generate_series(1, len(ws) - 2) END) AS t(i)
+),
+hashed AS (SELECT doc_id, md5_number_lower(shingle) & 4294967295 AS h FROM sh),
+mins AS (
+  SELECT h.doc_id, p.perm_id,
+         min(CAST((CAST(p.pa AS HUGEINT) * h.h + p.pb) % 2305843009213693951
+             AS UBIGINT) & 4294967295) AS mv
+  FROM hashed h CROSS JOIN perms p GROUP BY h.doc_id, p.perm_id
+),
+bands AS (
+  SELECT doc_id,
+         'b' || CAST(perm_id // 4 AS VARCHAR) || ':' ||
+         string_agg(CAST(mv AS VARCHAR), '-' ORDER BY perm_id) AS band
+  FROM mins GROUP BY doc_id, perm_id // 4
+),
+kept AS (
+  SELECT doc_id, band FROM bands
+  QUALIFY count(*) OVER (PARTITION BY band) <= 10000
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+  FROM kept a JOIN kept b ON a.band = b.band AND a.doc_id < b.doc_id
+),
+tri AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN length(text) < 3 THEN text ELSE substr(text, i, 3) END AS g
+  FROM documents,
+       unnest(CASE WHEN length(text) < 3 THEN [1]
+                   ELSE generate_series(1, length(text) - 2) END) AS t(i)
+  WHERE text <> ''
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+inter AS (
+  SELECT c.left_id, c.right_id, count(*) AS ni
+  FROM cand c
+  JOIN tri ta ON ta.doc_id = c.left_id
+  JOIN tri tb ON tb.doc_id = c.right_id AND tb.g = ta.g
+  GROUP BY c.left_id, c.right_id
+),
+jac AS (
+  SELECT c.left_id, c.right_id,
+         round(CAST(coalesce(i.ni, 0) AS DOUBLE)
+               / (sl.n + sr.n - coalesce(i.ni, 0)), 4) AS jaccard
+  FROM cand c
+  JOIN sizes sl ON sl.doc_id = c.left_id
+  JOIN sizes sr ON sr.doc_id = c.right_id
+  LEFT JOIN inter i ON i.left_id = c.left_id AND i.right_id = c.right_id
+)
+SELECT left_id, right_id, jaccard FROM jac
+WHERE jaccard >= 0.8 ORDER BY left_id, right_id
+"""
+
+
+@_q("t8_ngram_jaccard_dedup", _t8_oracle())
+def t8(spark, sf):
+    # block-then-verify near-dup: capped LSH candidates + exact char-3-gram
+    # Jaccard >= 0.8, via the production operator
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.operators.dedup import (
+        ngram_jaccard_dedup,
+    )
+
+    d = _t(spark, sf, "documents")
+    return ngram_jaccard_dedup(d, threshold=0.8).orderBy("left_id", "right_id")
+
+
 @_q("x6_corpus_filter", _X6_ORACLE)
 def x6(spark, sf):
     # the Rust corpus filter (main.rs) end-to-end: nested works synthesized
