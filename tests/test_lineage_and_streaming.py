@@ -69,3 +69,51 @@ def test_incremental_available_now_exactly_once(spark, tmp_path, corpus_dfs):
         shutil.copy(f, os.path.join(in_dir, f"extra_{i}.parquet"))
     incremental_documents(spark, in_dir, ckpt, batch_fn)
     assert sum(out) == first_total + 60
+
+
+def test_first_seen_stream_dedups_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState per-key state survives micro-batch boundaries:
+    a key that appeared in batch 1 is suppressed in batch 2."""
+    import json
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.streaming.stateful import (
+        first_seen_stream,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_file(name, rows):
+        (src / name).write_text("\n".join(json.dumps(r) for r in rows))
+
+    # two files -> two micro-batches (maxFilesPerTrigger=1); key k1 repeats
+    # within batch 1 AND across batches; k2 only in batch 2
+    write_file("a.json", [
+        {"content_key": "k1", "doc_id": 1},
+        {"content_key": "k1", "doc_id": 2},
+    ])
+    write_file("b.json", [
+        {"content_key": "k1", "doc_id": 3},
+        {"content_key": "k2", "doc_id": 4},
+    ])
+
+    stream = (
+        spark.readStream.schema("content_key string, doc_id long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    deduped = first_seen_stream(stream, "content_key")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("first_seen_t")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from first_seen_t").collect()
+    by_key = {r["content_key"]: r for r in rows}
+    assert set(by_key) == {"k1", "k2"}
+    assert len(rows) == 2  # k1 emitted exactly once despite 3 occurrences
