@@ -1394,12 +1394,12 @@ def x1(spark, sf):
     ).orderBy("left_id", "right_id")
 
 
-def _x2_oracle() -> str:
-    # Independent MinHash-LSH recomputation: md5_number_lower-based shingle
-    # hashes, the same 64 affine perms (inlined constants), 16 bands of 4,
-    # the same oversized-band cap, then the band self-join.
-    return f"""
-WITH perms(perm_id, pa, pb) AS (VALUES {_minhash_perm_values(64, 42)}),
+def _lsh_candidate_ctes(max_band_size: int = 10_000) -> str:
+    """Shared CTE chain (used verbatim by the x2 and t8 oracles): word
+    3-shingles -> md5-based 32-bit hashes -> 64 affine perms (inlined
+    constants) -> 16 bands of 4 -> oversized-band cap -> candidate pairs.
+    Ends with CTEs ``kept`` and ``cand``."""
+    return f"""perms(perm_id, pa, pb) AS (VALUES {_minhash_perm_values(64, 42)}),
 norm AS (
   SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS n
   FROM documents
@@ -1433,10 +1433,33 @@ bands AS (
 ),
 kept AS (
   SELECT doc_id, band FROM bands
-  QUALIFY count(*) OVER (PARTITION BY band) <= 10000
-)
-SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
-FROM kept a JOIN kept b ON a.band = b.band AND a.doc_id < b.doc_id
+  QUALIFY count(*) OVER (PARTITION BY band) <= {max_band_size}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+  FROM kept a JOIN kept b ON a.band = b.band AND a.doc_id < b.doc_id
+)"""
+
+
+def _hyperplane_bucket_expr(vec: str = "v") -> str:
+    """Shared sign-bit bucket expression over the 8 deterministic hyperplanes
+    (RandomState(7)) — used by the x4 and x7 oracles."""
+    import numpy as np
+
+    planes = np.random.RandomState(7).randn(8, 64)
+    arr = lambda p: "[" + ", ".join(repr(float(v)) for v in p) + "]"  # noqa: E731
+    return " || ".join(
+        f"(CASE WHEN list_dot_product({vec}, {arr(p)}) > 0 THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+
+
+def _x2_oracle() -> str:
+    # Independent MinHash-LSH recomputation; the whole chain is the shared
+    # fragment so the x2 and t8 oracles can never desynchronize.
+    return f"""
+WITH {_lsh_candidate_ctes(10_000)}
+SELECT left_id, right_id FROM cand
 ORDER BY left_id, right_id
 """
 
@@ -1503,19 +1526,11 @@ def x3(spark, sf):
 
 
 def _x4_oracle() -> str:
-    # Same 8 deterministic hyperplanes (RandomState(7)), inlined as SQL array
-    # literals; bucket by sign bits, exact cosine within bucket, top-3 window.
-    import numpy as np
-
-    planes = np.random.RandomState(7).randn(8, 64)
-    arr = lambda p: "[" + ", ".join(repr(float(v)) for v in p) + "]"  # noqa: E731
-    bucket = " || ".join(
-        f"(CASE WHEN list_dot_product(v, {arr(p)}) > 0 THEN '1' ELSE '0' END)"
-        for p in planes
-    )
+    # The 8 deterministic hyperplanes (shared fragment with x7); bucket by
+    # sign bits, exact cosine within bucket, top-3 window.
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+b AS (SELECT vec_id, v, {_hyperplane_bucket_expr("v")} AS bucket FROM e),
 pairs AS (
   SELECT a.vec_id AS left_id, b2.vec_id AS right_id,
          round(list_cosine_similarity(a.v, b2.v), 3) AS cos_sim
@@ -1627,18 +1642,10 @@ ORDER BY id
 
 
 def _x7_oracle() -> str:
-    # Same planes as x4 (RandomState(7)); threshold filter instead of top-k.
-    import numpy as np
-
-    planes = np.random.RandomState(7).randn(8, 64)
-    arr = lambda p: "[" + ", ".join(repr(float(v)) for v in p) + "]"  # noqa: E731
-    bucket = " || ".join(
-        f"(CASE WHEN list_dot_product(v, {arr(p)}) > 0 THEN '1' ELSE '0' END)"
-        for p in planes
-    )
+    # Same planes as x4 (shared fragment); threshold filter instead of top-k.
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-b AS (SELECT vec_id, v, {bucket} AS bucket FROM e)
+b AS (SELECT vec_id, v, {_hyperplane_bucket_expr("v")} AS bucket FROM e)
 SELECT a.vec_id AS left_id, b2.vec_id AS right_id,
        round(list_cosine_similarity(a.v, b2.v), 6) AS cos_sim
 FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
@@ -1662,44 +1669,10 @@ def x7(spark, sf):
 
 
 def _t8_oracle() -> str:
-    # block-then-verify: the capped MinHash-LSH candidates (x2's CTE chain)
-    # verified by exact character-3-gram Jaccard computed from scratch.
+    # block-then-verify: the capped MinHash-LSH candidates (the SAME shared
+    # CTE chain as the x2 oracle) verified by exact character-3-gram Jaccard.
     return f"""
-WITH perms(perm_id, pa, pb) AS (VALUES {_minhash_perm_values(64, 42)}),
-norm AS (
-  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS n
-  FROM documents
-),
-words AS (SELECT doc_id, string_split(n, ' ') AS ws FROM norm WHERE n <> ''),
-sh AS (
-  SELECT doc_id,
-         CASE WHEN len(ws) < 3 THEN array_to_string(ws, ' ')
-              ELSE ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] END AS shingle
-  FROM words,
-       unnest(CASE WHEN len(ws) < 3 THEN [1]
-                   ELSE generate_series(1, len(ws) - 2) END) AS t(i)
-),
-hashed AS (SELECT doc_id, md5_number_lower(shingle) & 4294967295 AS h FROM sh),
-mins AS (
-  SELECT h.doc_id, p.perm_id,
-         min(CAST((CAST(p.pa AS HUGEINT) * h.h + p.pb) % 2305843009213693951
-             AS UBIGINT) & 4294967295) AS mv
-  FROM hashed h CROSS JOIN perms p GROUP BY h.doc_id, p.perm_id
-),
-bands AS (
-  SELECT doc_id,
-         'b' || CAST(perm_id // 4 AS VARCHAR) || ':' ||
-         string_agg(CAST(mv AS VARCHAR), '-' ORDER BY perm_id) AS band
-  FROM mins GROUP BY doc_id, perm_id // 4
-),
-kept AS (
-  SELECT doc_id, band FROM bands
-  QUALIFY count(*) OVER (PARTITION BY band) <= 10000
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
-  FROM kept a JOIN kept b ON a.band = b.band AND a.doc_id < b.doc_id
-),
+WITH {_lsh_candidate_ctes(10_000)},
 tri AS (
   SELECT DISTINCT doc_id,
          CASE WHEN length(text) < 3 THEN text ELSE substr(text, i, 3) END AS g

@@ -12,8 +12,19 @@ numpy-vectorized across the tokens of one value; the pandas-UDF wrappers in
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
+
+# ASCII-only whitespace split: Python's str.split() treats Unicode
+# whitespace (NBSP, thin space, ...) as separators, but Spark/Java and
+# DuckDB/RE2 '\\s' are ASCII-only — tokenizing identically on all three
+# engines is what keeps the SQL oracles byte-exact on non-ASCII input.
+_ASCII_WS = re.compile(r"\s+", re.ASCII)
+
+
+def ascii_split(text: str) -> list[str]:
+    return [t for t in _ASCII_WS.split(text) if t]
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 _MAXH = np.uint64((1 << 32) - 1)
@@ -69,8 +80,9 @@ def token_hashes(tokens: list[str]) -> np.ndarray:
 
 
 def shingles(text: str, k: int = 3) -> list[str]:
-    """Word k-shingles of normalized text (k=3 default; shorter texts -> whole text)."""
-    toks = text.split()
+    """Word k-shingles of normalized text (k=3 default; shorter texts -> whole
+    text). ASCII-whitespace tokenization (see ascii_split)."""
+    toks = ascii_split(text)
     if len(toks) < k:
         return [" ".join(toks)] if toks else []
     return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]

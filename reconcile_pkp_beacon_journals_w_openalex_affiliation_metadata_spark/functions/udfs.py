@@ -155,7 +155,11 @@ def max_indel_over_array_udf(q: pd.Series, arr: pd.Series) -> pd.Series:
 
 @F.pandas_udf(T.LongType())
 def simhash_udf(s: pd.Series) -> pd.Series:
-    return s.map(lambda x: hashing.simhash64(x.split()) if x else 0).astype("int64")
+    # ASCII-ws tokenization keeps the DuckDB oracle ('\s+' under RE2)
+    # byte-exact on non-ASCII input
+    return s.map(lambda x: hashing.simhash64(hashing.ascii_split(x)) if x else 0).astype(
+        "int64"
+    )
 
 
 @F.pandas_udf(T.ArrayType(T.StringType()))

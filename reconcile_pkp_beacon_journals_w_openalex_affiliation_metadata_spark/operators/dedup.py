@@ -52,17 +52,17 @@ def minhash_lsh_pairs(
     bands_udf = make_minhash_bands_udf(num_perm=num_perm, bands=bands, shingle_k=shingle_k)
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     keys = df.select(F.col(id_col).alias("id"), F.explode(bands_udf(norm)).alias("band"))
-    # cap as a window count over the band shuffle: the UDF pass and the
-    # exchange happen ONCE (both self-join sides consume the same
-    # ReusedExchange), instead of a separate size-measuring aggregation +
-    # broadcast join that re-evaluates the banding UDF over the corpus
-    from pyspark.sql import Window
-
-    kept = (
-        keys.withColumn("_bs", F.count("*").over(Window.partitionBy("band")))
-        .where(F.col("_bs") <= max_band_size)
-        .drop("_bs")
+    # cap via a partial-aggregated size count, broadcasting ONLY the
+    # oversized bands (a handful even at corpus scale) into an anti-join.
+    # Never windows/buffers the degenerate band's rows on one task, and the
+    # broadcast side is the exceptional set, not the full band list; the
+    # second banding-UDF pass for the size agg hits the per-worker hash memo.
+    oversized = (
+        keys.groupBy("band").count()
+        .where(F.col("count") > max_band_size)
+        .select("band")
     )
+    kept = keys.join(F.broadcast(oversized), "band", "left_anti")
     a, b = kept.alias("a"), kept.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.id") < F.col("b.id")))
@@ -92,15 +92,13 @@ def simhash_near_pairs(
     widths = [64 // n_blocks + (1 if i < 64 % n_blocks else 0) for i in range(n_blocks)]
     offsets = [sum(widths[:i]) for i in range(n_blocks)]
     codes = simhash_codes(df, id_col, text_col)
-    blocks = codes.select(
-        "id", "simhash",
-        *[
-            F.shiftrightunsigned("simhash", offsets[i])
-            .bitwiseAND(F.lit((1 << widths[i]) - 1))
-            .alias(f"blk{i}")
-            for i in range(n_blocks)
-        ],
-    )
+    def _block(i: int):
+        shifted = F.shiftrightunsigned("simhash", offsets[i])
+        if widths[i] >= 64:  # full-code block (radius 0): mask literal would
+            return shifted.alias(f"blk{i}")  # overflow a signed 64-bit long
+        return shifted.bitwiseAND(F.lit((1 << widths[i]) - 1)).alias(f"blk{i}")
+
+    blocks = codes.select("id", "simhash", *[_block(i) for i in range(n_blocks)])
     parts = []
     for i in range(n_blocks):
         k = blocks.select(
@@ -189,8 +187,18 @@ def embedding_near_dup_pairs(
         ).cast("int").cast("string")
         for p in planes
     ]
+    # fail fast on a dim/vector mismatch: zip_with against a wrong-length
+    # plane pads with NULLs, which would silently collapse buckets and turn
+    # the near-linear bucket join into an O(n^2) self-join. The check rides
+    # inside the value column so column pruning cannot drop it.
+    checked_vec = F.when(F.size(F.col(vec_col)) == dim, F.col(vec_col)).otherwise(
+        F.raise_error(
+            F.concat(F.lit(f"embedding length != dim={dim}: "),
+                     F.size(F.col(vec_col)).cast("string"))
+        )
+    )
     keyed = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        F.col(id_col).alias("id"), checked_vec.alias("v"),
         F.concat_ws("", *bits).alias("bucket"),
     )
     a, b = keyed.alias("a"), keyed.alias("b")

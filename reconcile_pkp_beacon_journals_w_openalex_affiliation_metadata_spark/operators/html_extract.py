@@ -207,7 +207,15 @@ def _extract_udf(filenames: pd.Series, htmls: pd.Series) -> pd.DataFrame:
     out = {k.name: [] for k in _OUT_SCHEMA.fields}
     for fname, html in zip(filenames, htmls):
         doi, err = decode_doi_filename(fname or "")
-        meta_pairs, ul_pairs, has_a, has_i = parse_landing_page(html)
+        # content errors are routed, not raised (py:101-108): stdlib
+        # HTMLParser is lenient, but a pathological page (e.g. recursion
+        # blowup) must mark the file failed instead of killing the job
+        try:
+            meta_pairs, ul_pairs, has_a, has_i = parse_landing_page(html)
+        except Exception as e:  # noqa: BLE001 — reference catches broadly too
+            content_err = f"Error processing file content: {e}"
+            err = f"{content_err}; {err}" if err else content_err
+            meta_pairs, ul_pairs, has_a, has_i = [], [], False, False
         rows = []
         seq = 0
         # emission order = the reference's merge iteration order (py:191-219):
@@ -266,11 +274,15 @@ def html_parse_stats(extracted: DataFrame, file_col: str = "file_name") -> DataF
         F.first("has_ul_authors").alias("u"),
         F.first("error").alias("e"),
     )
+    # processed_ok mirrors py:162-177: a pure DOI-decoding error still counts
+    # as processed; a content error (or combined content+DOI error) does not
+    processed = F.col("e").isNull() | (
+        F.col("e").contains("DOI decoding error")
+        & ~F.col("e").contains("Error processing file content")
+    )
     return per_file.agg(
         F.count("*").alias("total_files"),
-        F.sum((F.col("e").isNull() | F.col("e").contains("DOI decoding error")).cast("long")).alias(
-            "files_processed_ok"
-        ),
+        F.sum(processed.cast("long")).alias("files_processed_ok"),
         F.sum(F.col("a").cast("long")).alias("files_with_author_tag"),
         F.sum(F.col("i").cast("long")).alias("files_with_institution_tag"),
         F.sum((F.col("a") & F.col("i")).cast("long")).alias("files_with_both_tags"),

@@ -167,8 +167,17 @@ def compare_landing_to_works(landing: DataFrame, works: DataFrame) -> DataFrame:
         .otherwise(F.lit(""))
         .alias("openalex_matched_institution_strings"),
     )
-    # re-expand collapsed duplicates: one output row per input row
+    # re-expand collapsed duplicates: one output row per input row. Two-level
+    # explode so a pathologically large duplicate group (millions of
+    # identical rows) never materializes a single _dup_n-element array on
+    # one row — chunks of 2^16, then rows within the chunk.
+    chunk = 1 << 16
+    n_chunks = F.ceil(F.col("_dup_n") / F.lit(chunk)).cast("long")
+    rows_in_chunk = F.least(
+        F.lit(chunk).cast("long"), F.col("_dup_n") - F.col("_c") * chunk
+    )
     return (
-        out.withColumn("_i", F.explode(F.sequence(F.lit(1), F.col("_dup_n"))))
-        .drop("_dup_n", "_i")
+        out.withColumn("_c", F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)))
+        .withColumn("_i", F.explode(F.sequence(F.lit(1).cast("long"), rows_in_chunk)))
+        .drop("_dup_n", "_c", "_i")
     )

@@ -138,3 +138,22 @@ def test_minhash_lsh_band_cap_bounds_degenerate_corpus(spark):
     )
     pairs = dedup.minhash_lsh_pairs(mixed, max_band_size=10).collect()
     assert {(r.left_id, r.right_id) for r in pairs} == {(100, 101)}
+
+
+def test_simhash_near_pairs_radius_zero_and_dim_guard(spark):
+    """radius 0 = identical codes only (single 64-bit block previously
+    overflowed a long literal); and embedding dim mismatch fails fast."""
+    import pytest as _pytest
+
+    texts = spark.createDataFrame(
+        [(1, "same words here"), (2, "same words here"), (3, "unrelated thing")],
+        "doc_id long, text string",
+    )
+    p0 = dedup.simhash_near_pairs(texts, max_hamming=0).collect()
+    assert {(r.left_id, r.right_id, r.hamming) for r in p0} == {(1, 2, 0)}
+
+    emb = spark.createDataFrame(
+        [(1, [0.1] * 64), (2, [0.2] * 64)], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(Exception, match="embedding length != dim"):
+        dedup.embedding_near_dup_pairs(emb, dim=128, threshold=0.5).count()
