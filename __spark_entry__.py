@@ -1715,16 +1715,11 @@ def t8(spark, sf):
     return ngram_jaccard_dedup(d, threshold=0.8).orderBy("left_id", "right_id")
 
 
-@_q("x6_corpus_filter", _X6_ORACLE)
-def x6(spark, sf):
-    # the Rust corpus filter (main.rs) end-to-end: nested works synthesized
-    # from driver tables, URL-key semi-join + nested EXISTS + prefix derive
-    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.operators.corpus_filter import (
-        filter_works,
-    )
-
+def _synthetic_works(spark, sf):
+    """Nested OPENALEX_WORKS-shaped rows synthesized deterministically from
+    the orders table (shared by the x6 and a8 queries and their oracles)."""
     o = _t(spark, sf, "orders")
-    works = o.select(
+    return o.select(
         F.concat(F.lit("https://openalex.org/W"), F.col("o_orderkey").cast("string")).alias("id"),
         F.when(
             F.col("o_orderkey") % 10 != 0,
@@ -1756,12 +1751,48 @@ def x6(spark, sf):
             )),
         ).alias("authorships"),
     )
+
+
+@_q("x6_corpus_filter", _X6_ORACLE)
+def x6(spark, sf):
+    # the Rust corpus filter (main.rs) end-to-end: nested works synthesized
+    # from driver tables, URL-key semi-join + nested EXISTS + prefix derive
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.operators.corpus_filter import (
+        filter_works,
+    )
+
+    works = _synthetic_works(spark, sf)
     base = spark.createDataFrame(
         [(f"https://journals.host{i}.example.org/index.php/j",) for i in range(3)],
         "base_url string",
     )
     out, _ = filter_works(works, base)
     return out.select("id", "doi", "doi_prefix").orderBy("id")
+
+
+@_q(
+    "a8_filter_audit_counts",
+    # the synthetic works make each bucket a closed-form modulus count:
+    # locations NULL iff o%7=0 (and every present URL parses, so
+    # no_parseable_url == no_locations); affiliation missing iff the
+    # authorships are NULL (o%5=0) or the only string is blank (o%3=0)
+    """SELECT count(*) AS records_read,
+              CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS no_locations,
+              CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS no_parseable_url,
+              CAST(sum(CASE WHEN o_orderkey % 5 = 0 OR o_orderkey % 3 = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS no_affiliation
+       FROM orders""",
+)
+def a8(spark, sf):
+    # A8: the corpus filter's audit counters as a verifiable aggregation
+    # (same bucket expressions as the observe() path)
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.operators.corpus_filter import (
+        audit_counts,
+    )
+
+    return audit_counts(_synthetic_works(spark, sf))
 
 
 @_q(

@@ -85,6 +85,30 @@ def filter_works(
     return out, obs
 
 
+def audit_counts(works: DataFrame) -> DataFrame:
+    """A8 as a composable aggregation: the same filter-reason counters the
+    observe() path records (main.rs:86-144), but as a one-row DataFrame so
+    they can be verified/joined like any other query (observe() metrics are
+    only readable after an action). Bucket definitions are IDENTICAL to the
+    observe() path above (no_parseable_url subsumes no_locations, as there)."""
+    w = works.withColumn("url_keys", _location_url_keys(works))
+    has_affil = F.exists(
+        F.coalesce(F.col("authorships"), F.array()),
+        lambda a: F.exists(
+            F.coalesce(a["raw_affiliation_strings"], F.array()),
+            lambda s: F.trim(s) != "",
+        ),
+    )
+    return w.agg(
+        F.count(F.lit(1)).alias("records_read"),
+        F.sum((F.size("url_keys") == 0).cast("long")).alias("no_locations"),
+        F.sum(
+            (F.size(F.filter("url_keys", lambda k: k.isNotNull())) == 0).cast("long")
+        ).alias("no_parseable_url"),
+        F.sum((~has_affil).cast("long")).alias("no_affiliation"),
+    )
+
+
 def write_partitioned(df: DataFrame, out_dir: str) -> None:
     """S5: the DOI-prefix-partitioned sink (out/<prefix>/... layout of
     main.rs:368-378). Spark sorts rows to bound concurrent writers — the
