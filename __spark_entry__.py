@@ -767,12 +767,56 @@ def f12(spark, sf):
 
 @_q(
     "sim_jw_levenshtein",
-    """SELECT c_custkey,
-              round(jaro_winkler_similarity(a, b), 3) AS jw,
+    # Jaro recomputed with the recursive greedy-matching CTE (NOT DuckDB's
+    # builtin jaro_winkler_similarity, whose Jaro internals differ from the
+    # rapidfuzz-parity kernel by 1-4 points on general pairs — the builtin
+    # only coincides on special shapes like these reversed names).
+    """WITH RECURSIVE src AS (
+         SELECT c_custkey, lower(c_name) AS a, reverse(lower(c_name)) AS b
+         FROM customer ORDER BY c_custkey LIMIT 500
+       ),
+       jstate AS (
+         SELECT c_custkey, a, b, length(a) AS la, length(b) AS lb,
+                greatest(greatest(length(a), length(b)) // 2 - 1, 0) AS w,
+                0 AS i, CAST([] AS INT[]) AS midx
+         FROM src
+         UNION ALL
+         SELECT c_custkey, a, b, la, lb, w, i + 1,
+           CASE WHEN c IS NULL THEN midx ELSE list_append(midx, c) END
+         FROM (
+           SELECT *, list_min(list_filter(
+               generate_series(greatest(i + 1 - w, 1), least(i + 1 + w, lb)),
+               j -> substr(b, j, 1) = substr(a, i + 1, 1)
+                    AND NOT list_contains(midx, j)
+             )) AS c
+           FROM jstate WHERE i < la
+         )
+       ),
+       jaro AS (
+         SELECT c_custkey, a, b, la, lb,
+           CASE
+             WHEN la = 0 AND lb = 0 THEN 1.0
+             WHEN la = 0 OR lb = 0 THEN 0.0
+             WHEN len(midx) = 0 THEN 0.0
+             ELSE (CAST(len(midx) AS DOUBLE)/la + CAST(len(midx) AS DOUBLE)/lb +
+                   (len(midx) - coalesce(list_sum(list_transform(
+                      generate_series(1, len(midx)),
+                      k -> CASE WHEN substr(b, midx[k], 1)
+                                     <> substr(b, list_sort(midx)[k], 1)
+                                THEN 1 ELSE 0 END)), 0) / 2.0)
+                   / len(midx)) / 3.0
+           END AS j
+         FROM jstate WHERE i = la
+       )
+       SELECT c_custkey,
+              round(CASE WHEN j > 0.7 THEN
+                j + coalesce(list_min(list_filter(
+                      generate_series(1, least(4, la, lb)),
+                      k -> substr(a, k, 1) <> substr(b, k, 1))) - 1,
+                    least(4, la, lb)) * 0.1 * (1.0 - j)
+              ELSE j END, 3) AS jw,
               levenshtein(a, b) AS lev
-       FROM (SELECT c_custkey, lower(c_name) AS a,
-                    reverse(lower(c_name)) AS b FROM customer)
-       ORDER BY c_custkey LIMIT 500""",
+       FROM jaro ORDER BY c_custkey""",
 )
 def sim_jw(spark, sf):
     # cross-engine check of the Jaro-Winkler pandas UDF + native levenshtein
