@@ -117,3 +117,56 @@ def test_first_seen_stream_dedups_across_microbatches(spark, tmp_path):
     by_key = {r["content_key"]: r for r in rows}
     assert set(by_key) == {"k1", "k2"}
     assert len(rows) == 2  # k1 emitted exactly once despite 3 occurrences
+
+
+def test_windowed_counts_watermark_drops_late(spark, tmp_path):
+    """Two AvailableNow runs over one checkpoint: the watermark persists
+    across runs, so run 2's too-late event is dropped while its in-time
+    event advances the stream; finalized windows emit exactly once."""
+    import json
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.streaming.windowed import (
+        windowed_event_counts,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out_rows = []
+
+    def run_once(name):
+        got = []
+        stream = spark.readStream.schema("ts timestamp, value long").json(str(src))
+        agg = windowed_event_counts(stream, ts_col="ts", key_col=None,
+                                    window="10 seconds", late="30 seconds")
+        q = (
+            agg.writeStream.foreachBatch(lambda bdf, bid: got.extend(bdf.collect()))
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        return got
+
+    def ev(sec, val):
+        return {"ts": f"2026-01-01T00:{sec // 60:02d}:{sec % 60:02d}", "value": val}
+
+    # run 1: events at t=5, 15, 95 -> watermark after run = 95s - 30s = 65s
+    (src / "a.json").write_text("\n".join(json.dumps(e) for e in [
+        ev(5, 1), ev(15, 2), ev(95, 3)]))
+    r1 = run_once("win_r1")
+    done1 = {(r["window"].start.second + r["window"].start.minute * 60, r["n"], r["sum_value"])
+             for r in r1}
+    # windows [0,10) and [10,20) are below the 65s watermark -> finalized
+    assert (0, 1, 1) in done1 and (10, 1, 2) in done1
+    assert all(w < 65 for (w, _, _) in done1)
+
+    # run 2: t=12 is >30s behind the persisted watermark -> dropped;
+    # t=130 advances the watermark to 100s -> [90,100) finalizes with ONLY
+    # the original t=95 event (the late t=12 must not resurrect [10,20))
+    (src / "b.json").write_text("\n".join(json.dumps(e) for e in [
+        ev(12, 100), ev(130, 4)]))
+    r2 = run_once("win_r2")
+    new = {(r["window"].start.second + r["window"].start.minute * 60, r["n"], r["sum_value"])
+           for r in r2} - done1
+    assert (90, 1, 3) in new
+    assert all(w != 10 for (w, _, _) in new), "late event resurrected a closed window"
