@@ -279,6 +279,46 @@ def j5(spark, sf):
     return connected_components(edges).select("node", "cluster_id").orderBy("node")
 
 
+@_q(
+    "j6_cluster_size_histogram",
+    # cluster-size distribution over the CC output (the entity-resolution
+    # QA metric: how many clusters of each size) — same transitive-closure
+    # oracle as j5, aggregated twice
+    """WITH RECURSIVE edges AS (
+         SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS u,
+                         'e' || event_type AS v FROM events
+         WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+       und AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+       reach(node, r) AS (
+         SELECT u, v FROM und UNION SELECT u, u FROM und
+         UNION
+         SELECT reach.node, und.v FROM reach JOIN und ON reach.r = und.u),
+       assign AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+       sizes AS (SELECT cluster_id, count(*) AS cluster_size
+                 FROM assign GROUP BY cluster_id)
+       SELECT cluster_size, count(*) AS n_clusters
+       FROM sizes GROUP BY cluster_size ORDER BY cluster_size""",
+)
+def j6(spark, sf):
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.operators.cluster import (
+        connected_components,
+    )
+
+    ev = _t(spark, sf, "events").where(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    edges = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("u"),
+        F.concat(F.lit("e"), F.col("event_type")).alias("v"),
+    ).distinct()
+    cc = connected_components(edges)
+    sizes = cc.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size").agg(F.count("*").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
 # --- A: aggregations -----------------------------------------------------------
 
 @_q(
