@@ -996,7 +996,7 @@ def t5(spark, sf):
     """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
        SELECT e.vec_id,
               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                           CAST(q.embedding AS DOUBLE[])), 3) AS cos_sim
+                                           CAST(q.embedding AS DOUBLE[])), 3) + 0.0 AS cos_sim
        FROM embeddings e, q WHERE e.vec_id <> 0
        ORDER BY cos_sim DESC, e.vec_id LIMIT 10""",
 )
@@ -1016,7 +1016,8 @@ def t6(spark, sf):
         emb.where(F.col("vec_id") != 0)
         .select(
             "vec_id",
-            F.round(dot / (nrm(F.col("embedding")) * nrm(qlit)), 3).alias("cos_sim"),
+            (F.round(dot / (nrm(F.col("embedding")) * nrm(qlit)), 3)
+             + F.lit(0.0)).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(10)
@@ -1489,7 +1490,11 @@ norm AS (
   FROM documents
 ),
 words AS (
-  SELECT doc_id, string_split(n, ' ') AS ws FROM norm WHERE n <> ''
+  -- list_filter drops empty split fragments (leading/trailing space after
+  -- the whitespace collapse), matching the engine's ascii_split; trim(n)<>''
+  -- excludes token-less docs entirely — the engine emits NO bands for them
+  SELECT doc_id, list_filter(string_split(n, ' '), t -> t <> '') AS ws
+  FROM norm WHERE trim(n) <> ''
 ),
 sh AS (
   SELECT doc_id,
@@ -1616,8 +1621,11 @@ def _x4_oracle() -> str:
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 b AS (SELECT vec_id, v, {_hyperplane_bucket_expr("v")} AS bucket FROM e),
 pairs AS (
+  -- "+ 0.0" folds IEEE -0.0 to +0.0: round() of a tiny negative cosine
+  -- yields -0.0, and the driver's value hash is bit-sensitive (r2 verdict:
+  -- 1-of-508 rows differed by sign bit only)
   SELECT a.vec_id AS left_id, b2.vec_id AS right_id,
-         round(list_cosine_similarity(a.v, b2.v), 3) AS cos_sim
+         round(list_cosine_similarity(a.v, b2.v), 3) + 0.0 AS cos_sim
   FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
 )
 SELECT left_id, right_id, cos_sim FROM (
@@ -1664,8 +1672,9 @@ def x4(spark, sf):
         .select(
             F.col("a.vec_id").alias("left_id"),
             F.col("b.vec_id").alias("right_id"),
-            F.round(dot / (nrm(F.col("a.embedding")) * nrm(F.col("b.embedding"))), 3)
-            .alias("cos_sim"),
+            # + 0.0 folds -0.0 (bit-sensitive driver hash; see oracle)
+            (F.round(dot / (nrm(F.col("a.embedding")) * nrm(F.col("b.embedding"))), 3)
+             + F.lit(0.0)).alias("cos_sim"),
         )
     )
     from pyspark.sql import Window
@@ -1731,7 +1740,7 @@ def _x7_oracle() -> str:
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 b AS (SELECT vec_id, v, {_hyperplane_bucket_expr("v")} AS bucket FROM e)
 SELECT a.vec_id AS left_id, b2.vec_id AS right_id,
-       round(list_cosine_similarity(a.v, b2.v), 6) AS cos_sim
+       round(list_cosine_similarity(a.v, b2.v), 6) + 0.0 AS cos_sim
 FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
 WHERE round(list_cosine_similarity(a.v, b2.v), 6) >= 0.3
 ORDER BY left_id, right_id

@@ -111,7 +111,15 @@ def minhash_bands(
     """LSH band keys: signature split into ``bands`` rows-per-band groups,
     each band rendered as ``b{i}:{v0-v1-...}`` (decimal join — longer than a
     hash of the band bytes but recomputable in SQL via string_agg, which is
-    what lets the driver oracle the whole LSH family)."""
+    what lets the driver oracle the whole LSH family).
+
+    Empty token list -> NO bands (``[]``), not sentinel bands: the all-MAXH
+    signature would otherwise emit ``bands`` identical keys for every
+    token-less doc (e.g. tab-only text whose normalization collapses to a
+    single space), cross-pairing all of them as near-dup candidates. A doc
+    with no tokens carries no signal and belongs in no bucket."""
+    if not tokens:
+        return []
     sig = minhash_signature(tokens, num_perm=num_perm, seed=seed)
     r = num_perm // bands
     out = []

@@ -51,12 +51,18 @@ def minhash_lsh_pairs(
     pairs and no signal."""
     bands_udf = make_minhash_bands_udf(num_perm=num_perm, bands=bands, shingle_k=shingle_k)
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    keys = df.select(F.col(id_col).alias("id"), F.explode(bands_udf(norm)).alias("band"))
+    # persist the exploded keys: three consumers read them (the band-size
+    # agg and BOTH sides of the self-join), and without a materialization
+    # each re-runs the banding UDF — the r2-measured 2x wall regression.
+    # MEMORY_AND_DISK so a 100 TB corpus spills instead of OOMing; the cache
+    # entry is unpersisted by the ContextCleaner when the plan is GC'd.
+    keys = df.select(
+        F.col(id_col).alias("id"), F.explode(bands_udf(norm)).alias("band")
+    ).persist()
     # cap via a partial-aggregated size count, broadcasting ONLY the
     # oversized bands (a handful even at corpus scale) into an anti-join.
     # Never windows/buffers the degenerate band's rows on one task, and the
-    # broadcast side is the exceptional set, not the full band list; the
-    # second banding-UDF pass for the size agg hits the per-worker hash memo.
+    # broadcast side is the exceptional set, not the full band list.
     oversized = (
         keys.groupBy("band").count()
         .where(F.col("count") > max_band_size)
@@ -211,7 +217,12 @@ def embedding_near_dup_pairs(
     )
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
-        .withColumn("cos_sim", F.round(dot / (nrm(F.col("a.v")) * nrm(F.col("b.v"))), 6))
+        # + 0.0 folds IEEE -0.0 from round() of a tiny negative cosine to
+        # +0.0 (the driver's value hash is bit-sensitive)
+        .withColumn(
+            "cos_sim",
+            F.round(dot / (nrm(F.col("a.v")) * nrm(F.col("b.v"))), 6) + F.lit(0.0),
+        )
         .where(F.col("cos_sim") >= threshold)
         .select(F.col("a.id").alias("left_id"), F.col("b.id").alias("right_id"), "cos_sim")
     )

@@ -25,6 +25,9 @@ join) — one groupBy instead of a driver-side dict.
 Parsing uses only the stdlib ``html.parser`` (bs4 is not installed here);
 for well-formed pages (explicit closing tags) the tree walk below matches
 BeautifulSoup's 'html.parser' builder on every construct we emit or test.
+It additionally applies the HTML5 implied-end-tag rules for <li> (a new
+<li> at list level, or </ul>, closes an open item) — scraped pages
+routinely omit </li>, which is valid HTML5.
 """
 
 from __future__ import annotations
@@ -81,6 +84,14 @@ class _LandingPageParser(HTMLParser):
                 return v
         return None
 
+    def _flush_li(self):
+        """Close the open direct li (explicit or HTML5-implied): emit the
+        item and reset any span capture still open inside it."""
+        if self._cur_li is not None:
+            self.ul_items.append(self._cur_li)
+            self._cur_li = None
+        self._span_kind, self._span_depth = None, 0
+
     def handle_starttag(self, tag, attrs):
         if tag == "meta":
             self.metas.append({k: v for k, v in attrs})
@@ -93,6 +104,15 @@ class _LandingPageParser(HTMLParser):
                 return
             if self._li_depth:
                 if tag == "li":
+                    if self._ul_depth == 1 and self._li_depth == 1:
+                        # HTML5 implied </li>: a new li at list level closes
+                        # the open one (pages routinely omit </li>); without
+                        # this every subsequent li nests and all authors
+                        # collapse into the first item
+                        self._flush_li()
+                        self._li_depth = 1
+                        self._cur_li = {"name": None, "affiliation": None}
+                        return
                     self._li_depth += 1
                 elif tag == "span" and self._span_kind is None and self._cur_li is not None:
                     cls = self._classes(attrs)
@@ -121,13 +141,16 @@ class _LandingPageParser(HTMLParser):
             return
         if tag == "li" and self._li_depth:
             self._li_depth -= 1
-            if self._li_depth == 0 and self._cur_li is not None:
-                self.ul_items.append(self._cur_li)
-                self._cur_li = None
+            if self._li_depth == 0:
+                self._flush_li()
             return
         if tag == "ul":
             self._ul_depth -= 1
             if self._ul_depth == 0:
+                # HTML5 implied </li>: </ul> closes a still-open list item
+                if self._li_depth:
+                    self._li_depth = 0
+                    self._flush_li()
                 self._ul_done = True
 
     def handle_data(self, data):

@@ -37,7 +37,11 @@ def sanitize_prefix(prefix: str) -> str:
 
 def record_path(out_dir: str, member_id: str, prefix: str, doi: str, ext: str = ".html") -> str:
     name = base64.urlsafe_b64encode((doi or "").encode("utf-8")).decode("ascii")
-    return os.path.join(out_dir, str(member_id), sanitize_prefix(prefix), name + ext)
+    # member_id goes through the same sanitizer as prefix: a crafted id like
+    # '../../x' would otherwise traverse out of out_dir, and executors write
+    # these paths directly (the reference shares the gap; the distributed
+    # writer amplifies it)
+    return os.path.join(out_dir, sanitize_prefix(str(member_id)), sanitize_prefix(prefix), name + ext)
 
 
 _WRITE_SCHEMA = T.StructType(

@@ -157,3 +157,30 @@ def test_simhash_near_pairs_radius_zero_and_dim_guard(spark):
     )
     with _pytest.raises(Exception, match="embedding length != dim"):
         dedup.embedding_near_dup_pairs(emb, dim=128, threshold=0.5).count()
+
+
+def test_tokenless_docs_emit_no_bands(spark):
+    """ADVICE r2: tab-only text normalizes to ' ', which tokenizes to NOTHING
+    — such docs must emit zero band keys (not 16 shared sentinel bands that
+    cross-pair every degenerate doc as a near-dup candidate)."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.functions import (
+        hashing,
+    )
+
+    assert hashing.minhash_bands([]) == []
+    assert hashing.minhash_bands(hashing.shingles(" ")) == []
+    assert hashing.minhash_bands(hashing.shingles("\t")) == []
+
+    rows = [
+        ("w1", "\t"),          # tab-only: truthy string, no tokens
+        ("w2", "   "),         # spaces-only
+        ("w3", "\t \t"),       # mixed whitespace
+        ("ok1", "real shared content about owls in the oak tree"),
+        ("ok2", "real shared content about owls in the oak tree"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    pairs = {
+        (r.left_id, r.right_id)
+        for r in dedup.minhash_lsh_pairs(df).collect()
+    }
+    assert pairs == {("ok1", "ok2")}  # no whitespace-doc cross-pairs

@@ -231,3 +231,19 @@ def test_write_one_file_per_record(spark, tmp_path):
     assert written["10.2/c"]["path"].count("we_ird") == 1
     # resume shape: written paths join back as the done-set (S12)
     assert out.select("doi").distinct().count() == 3
+
+
+def test_record_path_member_id_traversal_blocked(tmp_path):
+    """ADVICE r2: member_id is attacker-adjacent input; '../../x' must not
+    escape out_dir (executors write these paths directly)."""
+    import os
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.sources.sinks import (
+        record_path,
+    )
+
+    out = str(tmp_path / "out")
+    p = record_path(out, "../../evil", "10.1234", "10.1234/x")
+    assert os.path.commonpath([out, os.path.normpath(p)]) == out
+    # normal ids unchanged
+    assert f"{os.sep}4460{os.sep}" in record_path(out, "4460", "10.1234", "d")

@@ -229,3 +229,38 @@ def test_dedup_original_selection_first_meta_last_ul(spark):
     assert got["A"]["sources"] == "meta"
     assert (got["B"]["author"], got["B"]["institution"]) == ("X", "Z")
     assert got["B"]["sources"] == "meta;ul.authors"
+
+
+def test_unclosed_li_implied_close():
+    """ADVICE r2: HTML5 allows omitting </li>; a new <li> at list level (or
+    </ul>) must imply-close the open item instead of nesting forever and
+    collapsing every author into the first item."""
+    page = (
+        '<ul class="authors">'
+        '<li><span class="name">Ada Lovelace</span>'
+        '<span class="affiliation">Analytical Engine</span>'
+        '<li><span class="name">Charles Babbage</span>'
+        '<li><span class="name">Mary Somerville</span>'
+        '<span class="affiliation">RAS</span>'
+        "</ul>"
+    )
+    _, ul, *_ = parse_landing_page(page)
+    assert ul == [
+        ("Ada Lovelace", "Analytical Engine"),
+        ("Charles Babbage", ""),
+        ("Mary Somerville", "RAS"),
+    ]
+    # unclosed li with an unclosed span, closed only by </ul>
+    page2 = '<ul class="authors"><li><span class="name">Solo Author</ul>'
+    _, ul2, *_ = parse_landing_page(page2)
+    assert ul2 == [("Solo Author", "")]
+    # nested ul inside an li still does NOT produce extra direct items,
+    # and the explicit-close path is unchanged
+    page3 = (
+        '<ul class="authors">'
+        '<li><span class="name">Outer</span><ul><li>inner</li></ul></li>'
+        '<li><span class="name">Second</span></li>'
+        "</ul>"
+    )
+    _, ul3, *_ = parse_landing_page(page3)
+    assert ul3 == [("Outer", ""), ("Second", "")]

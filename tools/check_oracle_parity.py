@@ -33,8 +33,9 @@ def norm_val(v):
     if isinstance(v, Decimal):
         return "dec:" + str(v)
     if isinstance(v, float):
-        if v == 0.0:
-            v = 0.0  # fold -0.0
+        # NO -0.0 fold: the driver's hash is bit-sensitive, so the local
+        # replica must flag signed-zero divergence too (r2 x4 lesson) —
+        # queries/oracles normalize it themselves ("+ 0.0" after round)
         return "f:" + repr(v)
     if isinstance(v, int):
         return "i:" + str(v)
