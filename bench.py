@@ -5,6 +5,12 @@ Prints ONE JSON line:
   {"metric": ..., "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ..., "pairs_scored_per_sec": ...}
 
+Protocol: one UNTIMED warm-up lap of the whole headline set (session ramp —
+per-plan codegen, parquet footers, broadcast build — dominated the r2 cold
+numbers), then SPARK_GRAFT_BENCH_LAPS (default 2) timed laps; per-query and
+suite values are the min across timed laps (noise-robust on a shared host).
+"value" is the best whole-lap wall, not the sum of per-query minima.
+
 The headline set spans the engine's hot paths: the flagship reconcile
 pipeline (blocking + salted pairs + vectorized scoring), the clustering
 round, the windowed/rolled-up analytics, and the dedup/similarity family.
@@ -50,7 +56,6 @@ def main() -> None:
     )
 
     qs = entry_mod.queries()
-    times: dict[str, float] = {}
     # warm the JVM codegen AND the Python worker pool so the first headline
     # entry doesn't pay one-time startup
     warm = spark.range(int(cpus) * 2000).select(
@@ -58,13 +63,38 @@ def main() -> None:
     )
     warm.select(F.sum(sim_features_udf(F.col("a"), F.col("a"))["indel"])).collect()
 
-    total0 = time.perf_counter()
+    # one UNTIMED warm-up lap of the full headline set: the r2 verdict
+    # measured ~85% of the flagship's cold number as one-time session ramp
+    # (per-plan codegen, parquet footer reads, broadcast build). Steady state
+    # is what round-over-round deltas should compare. Then min-of-2 timed
+    # laps — the host carries bursty external load (BENCH.md protocol).
+    laps = int(os.environ.get("SPARK_GRAFT_BENCH_LAPS", "2"))
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        df.count()
-        times[name] = round(time.perf_counter() - t0, 3)
-    total = round(time.perf_counter() - total0, 3)
+        qs[name](spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    total = 0.0
+    for _ in range(laps):
+        # drop DataFrame caches left by operator-internal persist() calls:
+        # the CacheManager serves identical plans from cache, so without
+        # this a timed lap would elide whole stages (e.g. the LSH banding
+        # UDF) computed by the previous lap — warm JVM yes, warm data no
+        spark.catalog.clearCache()
+        lap_total = 0.0
+        lap_times: dict[str, float] = {}
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            lap_times[name] = dt
+            lap_total += dt
+        for name, dt in lap_times.items():
+            if name not in times or dt < times[name]:
+                times[name] = dt
+        if total == 0.0 or lap_total < total:
+            total = lap_total
+    times = {k: round(v, 3) for k, v in times.items()}
+    total = round(total, 3)
 
     # scoring throughput: the north metric (candidate-pairs-scored/sec) on a
     # synthetic 300k-pair batch of realistic normalized titles
@@ -89,6 +119,7 @@ def main() -> None:
         "sf": sf_dir,
         "cpus": int(cpus),
         "pairs_scored_per_sec": round(n_pairs / score_wall, 1),
+        "protocol": f"1 untimed warm-up lap + min of {laps} timed laps",
     }
     print(json.dumps(out))
 
