@@ -13,10 +13,14 @@ the oracles for unit/property tests. Semantics follow the reference:
   published algorithms (Winkler 1990; fuzzywuzzy/rapidfuzz token_set).
 
 ``ascii_fold`` replaces the ``unidecode`` dependency (not installed here):
-NFKD decomposition + combining-mark strip + an explicit table for the Latin
-letters that do not NFKD-decompose. For Latin-script input (the linkage
-domain's dominant case) it agrees with unidecode; CJK transliteration is out
-of scope and such chars are dropped by the normalize regex anyway.
+per-char table fold (Latin non-decomposables, Greek/Cyrillic ALA-LC, kana
+romaji, frequent-range Han pinyin — see ``cjk.py``) with NFKD decomposition
++ combining-mark strip as the fallback. For Latin/Greek/Cyrillic input it
+agrees with unidecode; kana agree with unidecode's per-char romaji scheme;
+Han characters agree on the ``cjk.HAN_PINYIN`` frequent range ('中' ->
+'Zhong ', which SURVIVES the normalize regex — unidecode emits alphanumeric
+pinyin, it does not drop CJK) and characters outside that table are dropped
+(documented divergence; unidecode ships the full CJK range).
 """
 
 from __future__ import annotations
@@ -89,26 +93,42 @@ _FOLD_TABLE = {
     "\u040c": "K", "\u045c": "k", "\u0405": "Dz", "\u0455": "dz",
 }
 
+# kana romaji + frequent-range Han pinyin (unidecode output format)
+from .cjk import CJK_TABLE as _CJK_TABLE  # noqa: E402
+
+_FOLD_TABLE.update(_CJK_TABLE)
+
 
 def ascii_fold(s: str) -> str:
-    """Transliterate to ASCII (unidecode stand-in for Latin, Greek and
-    Cyrillic scripts).
+    """Transliterate to ASCII (unidecode stand-in for Latin, Greek,
+    Cyrillic, kana, and frequent-range Han).
 
-    NFKD first (so accented Greek/Cyrillic/Latin decompose to a base letter
-    plus combining marks, and compatibility forms like ellipsis or NBSP
-    expand), then a per-char table fold of the remaining non-ASCII bases,
-    dropping combining marks. Characters of unmapped scripts (CJK etc.) are
+    Table fold FIRST, per original character, then NFKD as the fallback for
+    unmapped chars (decomposing accented letters to base + combining marks,
+    expanding compatibility forms like ellipsis or NBSP, dropping the
+    marks). Table-first matters for kana: NFKD decomposes voiced kana
+    ('ga' が) into base + combining dakuten, which would mis-fold to 'ka'.
+    NFKD output is re-looked-up in the table (so halfwidth katakana
+    decompose to katakana and then romanize). Unmapped non-ASCII chars are
     dropped, as documented in SURVEY risk (a)."""
     if not s:
         return s or ""
     if s.isascii():  # fast path: the dominant case in Latin-script corpora
         return s
     out = []
-    for c in unicodedata.normalize("NFKD", s):
+    for c in s:
         if ord(c) < 128:
             out.append(c)
-        elif not unicodedata.combining(c):
-            out.append(_FOLD_TABLE.get(c, ""))
+            continue
+        m = _FOLD_TABLE.get(c)
+        if m is not None:
+            out.append(m)
+            continue
+        for d in unicodedata.normalize("NFKD", c):
+            if ord(d) < 128:
+                out.append(d)
+            elif not unicodedata.combining(d):
+                out.append(_FOLD_TABLE.get(d, ""))
     return "".join(out)
 
 

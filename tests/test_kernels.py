@@ -224,3 +224,55 @@ def test_ascii_fold_agreement_rate_documented():
                           ("latin1", lat1), ("latinA", latA)]:
         misses = [c for c in letters if not covered(c)]
         assert not misses, (name, misses)
+
+
+GOLDEN_CJK = [
+    # Han -> pinyin, unidecode output format (title-case + trailing space),
+    # so normalize_text yields comparable tokens — NOT empty strings
+    ("中国科学院", "Zhong Guo Ke Xue Yuan "),
+    ("北京大学", "Bei Jing Da Xue "),
+    ("王伟", "Wang Wei "),
+    ("陳大文", "Chen Da Wen "),
+    ("東京", "Dong Jing "),  # kanji romanize by Mandarin pinyin, like unidecode
+    # kana -> per-char romaji (unidecode's naive scheme: きゃ -> kiya)
+    ("やまだ たろう", "yamada tarou"),
+    ("ヤマダ・タロウ", "yamada tarou"),
+    ("がぎぐげご", "gagigugego"),  # voiced kana need table-BEFORE-NFKD
+    ("キョウト", "kiyouto"),
+    ("ｱｲｳ", "aiu"),  # halfwidth katakana: NFKD -> katakana -> romaji
+]
+
+
+def test_ascii_fold_cjk_golden():
+    for src, want in GOLDEN_CJK:
+        assert kernels.ascii_fold(src) == want, (src, kernels.ascii_fold(src), want)
+    # end-to-end through the reference normalize chain: a CJK author must
+    # normalize to non-empty comparable text (kernels.py r2 wrongly claimed
+    # the regex drops CJK — unidecode emits alphanumeric pinyin)
+    assert kernels.normalize_text("王伟 (北京大学)") == "wang wei bei jing da xue"
+    assert kernels.normalize_text("山田太郎") == "shan tian tai lang"
+
+
+def test_ascii_fold_han_coverage_rate_documented():
+    """Stated coverage: kana are COMPLETE (every standard hiragana/katakana
+    folds); Han covers the curated frequent range (surnames + institution /
+    place / given-name chars) and DROPS chars outside it — a documented
+    divergence from unidecode, which ships the full CJK range."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.functions.cjk import (
+        HAN_PINYIN,
+        KANA,
+    )
+
+    kana = [chr(c) for c in list(range(0x3041, 0x3097)) + list(range(0x30A1, 0x30F7))]
+    misses = [c for c in kana if not kernels.ascii_fold(c)]
+    assert not misses, misses
+
+    # every table entry round-trips through the full normalize chain
+    for c, pinyin in HAN_PINYIN.items():
+        assert kernels.ascii_fold(c) == pinyin
+        assert kernels.normalize_text(c) == pinyin.strip().lower()
+    assert len(HAN_PINYIN) >= 400  # frequent-range size floor
+    assert len(KANA) >= 170
+
+    # documented divergence: an uncovered Han char folds to ''
+    assert kernels.ascii_fold("龘") == ""  # 龘, outside the table
