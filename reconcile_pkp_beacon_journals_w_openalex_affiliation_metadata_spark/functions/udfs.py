@@ -69,7 +69,31 @@ def sim_features_udf(a: pd.Series, b: pd.Series) -> pd.DataFrame:
     - equal-string fast path (identical normalized titles are the most
       common case inside ISSN/band blocks),
     - per-batch memo: band families repeat the same (a, b) title pair many
-      times across different doc pairs — score each distinct pair once."""
+      times across different doc pairs — score each distinct pair once.
+
+    When rapidfuzz is installed (optional; SURVEY §2.10), the whole Arrow
+    batch is scored by its C++ ``process.cpdist`` instead — the pure-Python
+    kernels stay as the tested oracle. workers=1: each Spark python worker
+    is already one of many; letting rapidfuzz fan out to all cores would
+    oversubscribe the executor."""
+    if kernels.HAVE_RAPIDFUZZ:  # pragma: no cover - not installed in sandbox
+        from rapidfuzz import fuzz as rf_fuzz
+        from rapidfuzz import process as rf_process
+        from rapidfuzz.distance import JaroWinkler as rf_JW
+
+        av = [x or "" for x in a]
+        bv = [y or "" for y in b]
+        return pd.DataFrame(
+            {
+                "indel": rf_process.cpdist(av, bv, scorer=rf_fuzz.ratio, workers=1),
+                "jw": rf_process.cpdist(av, bv, scorer=rf_JW.similarity, workers=1)
+                * 100.0,
+                "tsr": rf_process.cpdist(
+                    av, bv, scorer=rf_fuzz.token_set_ratio, workers=1
+                ),
+            },
+            index=a.index,
+        ).astype("float64")
     n = len(a)
     indel = [0.0] * n
     jw = [0.0] * n
@@ -82,12 +106,7 @@ def sim_features_udf(a: pd.Series, b: pd.Series) -> pd.DataFrame:
         key = (x, y)
         hit = memo.get(key)
         if hit is None:
-            hit = (
-                kernels.indel_ratio(x, y),
-                kernels.jaro_winkler(x, y),
-                kernels.token_set_ratio(x, y),
-            )
-            memo[key] = hit
+            hit = memo[key] = kernels.sim_triple(x, y)
         indel[i], jw[i], tsr[i] = hit
     return pd.DataFrame({"indel": indel, "jw": jw, "tsr": tsr}, index=a.index)
 

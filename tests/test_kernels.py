@@ -276,3 +276,40 @@ def test_ascii_fold_han_coverage_rate_documented():
 
     # documented divergence: an uncovered Han char folds to ''
     assert kernels.ascii_fold("龘") == ""  # 龘, outside the table
+
+
+FROZEN_PAIRS = [
+    ("regional studies in applied fish biology", "regional studies in applied fish bioolgy"),
+    ("journal of marine science", "marine science journal"),
+    ("acta physica sinica", "acta phisica sinica"),
+    ("", ""),
+    ("", "nonempty"),
+    ("same title exactly", "same title exactly"),
+    ("a", "b"),
+    ("the quick brown fox", "the quick brown fox jumps"),
+    ("x" * 200, "x" * 199 + "y"),
+    ("word reorder test case", "case test reorder word"),
+    (None, "null left"),
+    ("null right", None),
+]
+
+
+def test_sim_triple_dispatch_and_oracle():
+    """kernels.sim_triple is what the scoring UDF calls; without rapidfuzz it
+    must BE the pure-Python oracle."""
+    if not kernels.HAVE_RAPIDFUZZ:
+        assert kernels.sim_triple is kernels.sim_triple_py
+    for a, b in FROZEN_PAIRS:
+        got = kernels.sim_triple_py(a, b)
+        assert len(got) == 3 and all(0.0 <= v <= 100.0 for v in got)
+
+
+@pytest.mark.skipif(not kernels.HAVE_RAPIDFUZZ, reason="rapidfuzz not installed")
+def test_sim_triple_rapidfuzz_path_parity():
+    """When the optional C fast path is present, it must agree with the
+    pure-Python kernels (the oracle) on the frozen corpus."""
+    for a, b in FROZEN_PAIRS:
+        fast = kernels.sim_triple(a, b)
+        slow = kernels.sim_triple_py(a, b)
+        for f, s in zip(fast, slow):
+            assert abs(f - s) < 1e-9, (a, b, fast, slow)
