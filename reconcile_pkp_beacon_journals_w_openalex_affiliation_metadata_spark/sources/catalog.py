@@ -15,6 +15,22 @@ Iceberg runtime jar, so the same contract is provided over parquet:
   (vlm_text_extractor.py:663-670) as a distributed operator (SURVEY S12/J4).
 
 Directory layout per table:  <root>/<name>/data/*.parquet + <root>/<name>/_COMMIT
+
+Three backends behind the ``backend`` flag, all satisfying the same
+contract (is_committed / write_committed / read_committed / resume_filter),
+so every stage and test runs identically over any of them:
+
+- ``marker`` (default): the parquet + _COMMIT protocol above. Works on any
+  filesystem, no extra jars.
+- ``table``: Spark-catalog managed tables (``saveAsTable`` with identity
+  ``partitionBy``); commit atomicity comes from Spark's own commit
+  protocol + catalog registration, i.e. the table exists in the session
+  catalog only after a successful write.
+- ``iceberg``: ``df.writeTo(<catalog>.<name>).createOrReplace()`` — the
+  documented production target (real snapshot isolation, partition
+  evolution, incremental reads). Requires the Iceberg runtime jar and a
+  configured Spark catalog; raises a clear error here (sandbox has no jar)
+  and its test auto-skips.
 """
 
 from __future__ import annotations
@@ -28,9 +44,25 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class Catalog:
-    def __init__(self, root: str):
+    def __init__(self, root: str, backend: str = "marker", iceberg_catalog: str = "local"):
+        if backend not in ("marker", "table", "iceberg"):
+            raise ValueError(f"unknown catalog backend: {backend!r}")
         self.root = root
+        self.backend = backend
+        self.iceberg_catalog = iceberg_catalog
         os.makedirs(root, exist_ok=True)
+
+    # table/iceberg backends namespace their table names; marker uses dirs.
+    # The ident embeds a hash of root so two Catalog instances in one Spark
+    # session (e.g. parallel tests) cannot collide on a bare table name.
+    def _table_ident(self, name: str) -> str:
+        import hashlib
+
+        safe = name.replace("-", "_").replace(".", "_")
+        ns = hashlib.md5(self.root.encode()).hexdigest()[:8]
+        if self.backend == "iceberg":
+            return f"{self.iceberg_catalog}.spark_graft.{safe}_{ns}"
+        return f"spark_graft_{ns}_{safe}"
 
     def _dir(self, name: str) -> str:
         return os.path.join(self.root, name)
@@ -38,8 +70,13 @@ class Catalog:
     def _marker(self, name: str) -> str:
         return os.path.join(self._dir(name), "_COMMIT")
 
-    def is_committed(self, name: str) -> bool:
-        return os.path.exists(self._marker(name))
+    def is_committed(self, name: str, spark: SparkSession | None = None) -> bool:
+        if self.backend == "marker":
+            return os.path.exists(self._marker(name))
+        spark = spark or SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(f"{self.backend} backend needs an active SparkSession")
+        return spark.catalog.tableExists(self._table_ident(name))
 
     def write_committed(
         self, df: DataFrame, name: str, partition_by: list[str] | None = None,
@@ -52,7 +89,30 @@ class Catalog:
         the old data dir is deleted (a crash in between leaves an
         uncommitted table that a restart recomputes, never a committed
         table with missing data), and the new marker is published via
-        write-to-temp + os.replace so readers never see a torn marker."""
+        write-to-temp + os.replace so readers never see a torn marker.
+
+        Non-marker backends delegate commit atomicity to the engine: the
+        Spark catalog registers the table only after a successful write;
+        Iceberg's createOrReplace is one snapshot commit."""
+        if self.backend == "iceberg":
+            w = df.writeTo(self._table_ident(name)).using("iceberg")
+            if partition_by:
+                from pyspark.sql import functions as F
+
+                w = w.partitionedBy(*[F.col(c) for c in partition_by])
+            if meta:
+                for k, v in meta.items():
+                    w = w.tableProperty(f"graft.{k}", str(v))
+            w.createOrReplace()  # raises without the Iceberg jar/catalog
+            return
+        if self.backend == "table":
+            w = df.write.mode("overwrite").format("parquet").option(
+                "path", os.path.join(self._dir(name), "table_data")
+            )
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.saveAsTable(self._table_ident(name))
+            return
         tdir = self._dir(name)
         staging = os.path.join(tdir, f"_staging_{uuid.uuid4().hex[:8]}")
         data = os.path.join(tdir, "data")
@@ -74,11 +134,17 @@ class Catalog:
         os.replace(tmp_marker, marker)
 
     def read_committed(self, spark: SparkSession, name: str) -> DataFrame | None:
-        if not self.is_committed(name):
+        if not self.is_committed(name, spark):
             return None
-        return spark.read.parquet(os.path.join(self._dir(name), "data"))
+        if self.backend == "marker":
+            return spark.read.parquet(os.path.join(self._dir(name), "data"))
+        return spark.table(self._table_ident(name))
 
-    def drop(self, name: str) -> None:
+    def drop(self, name: str, spark: SparkSession | None = None) -> None:
+        if self.backend != "marker":
+            spark = spark or SparkSession.getActiveSession()
+            if spark is not None:
+                spark.sql(f"DROP TABLE IF EXISTS {self._table_ident(name)}")
         if os.path.exists(self._dir(name)):
             shutil.rmtree(self._dir(name))
 
