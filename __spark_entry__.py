@@ -1808,6 +1808,95 @@ def t8(spark, sf):
     return ngram_jaccard_dedup(d, threshold=0.8).orderBy("left_id", "right_id")
 
 
+_T9_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), s AS (
+  -- whole-second gap via exact integer microseconds (epoch_us), truncating
+  -- division — matches Spark timestamp_diff(SECOND, ...) for positive gaps
+  SELECT user_id, event_id,
+         sum(CASE WHEN prev IS NULL
+                    OR (epoch_us(ts) - epoch_us(prev)) // 1000000 > 1800
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess
+  FROM e
+), per_sess AS (
+  SELECT user_id, sess, count(*) AS n FROM s GROUP BY user_id, sess
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(max(n) AS BIGINT) AS longest_session
+FROM per_sess GROUP BY user_id ORDER BY user_id
+"""
+
+
+@_q("t9_sessionization", _T9_ORACLE)
+def t9(spark, sf):
+    # gap-based sessionization (30-min inactivity cut): lag + running-sum
+    # session ids, the canonical event-stream shape. One shuffle on user_id;
+    # both window functions share the same partitioning so Catalyst plans a
+    # single exchange.
+    from pyspark.sql import Window
+
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # timestamp_diff on TIMESTAMP_NTZ is pure microsecond arithmetic (no
+    # session-timezone dependence — the driver's session tz is unknown);
+    # truncating division matches the oracle's epoch_us // 1000000
+    gap = F.timestamp_diff("SECOND", F.lag("ts").over(w), F.col("ts"))
+    flags = e.select(
+        "user_id", "event_id", "ts",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("is_new"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = flags.select(
+        "user_id", "event_id", F.sum("is_new").over(w2).alias("sess")
+    )
+    per_sess = sess.groupBy("user_id", "sess").agg(F.count("*").alias("n"))
+    return (
+        per_sess.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n").alias("n_events"),
+            F.max("n").alias("longest_session"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_O6_ORACLE = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+) WHERE rn <= 3 ORDER BY source, doc_id
+"""
+
+
+@_q("o6_stratified_sample", _O6_ORACLE)
+def o6(spark, sf):
+    # deterministic stratified sample: exactly n per stratum, ordered by a
+    # content hash — the data-mixing primitive of a training pipeline (same
+    # sample on every run/executor count, unlike rand()-based sampling).
+    # One shuffle on the stratum key; no global sort before the cut.
+    from pyspark.sql import Window
+
+    d = _t(spark, sf, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "source")
+        .orderBy("source", "doc_id")
+    )
+
+
 def _synthetic_works(spark, sf):
     """Nested OPENALEX_WORKS-shaped rows synthesized deterministically from
     the orders table (shared by the x6 and a8 queries and their oracles)."""
