@@ -135,6 +135,57 @@ def leg_layer1(cores: int) -> dict:
     }
 
 
+def leg_layer2_staged(cores: int) -> dict:
+    """Layer-2 with per-stage walls: attributes the pipeline's scaling gap
+    to a stage (VERDICT r2 #6). Materialization barriers (persist + count)
+    match the plan's own persist points, so the stage split adds only the
+    count actions."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.operators import (
+        blocking,
+        cluster,
+        extract,
+        pairs as P,
+        scoring,
+    )
+
+    spark = _spark(cores)
+    docs = spark.read.parquet(f"{PREP_DIR}/documents.parquet")
+    _warm(spark, cores)
+    stages: dict[str, float] = {}
+    t_all = time.perf_counter()
+
+    t0 = time.perf_counter()
+    records = extract.extract_records(docs).persist()
+    records.count()
+    stages["extract"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    keys = blocking.blocking_keys(records).persist()
+    keys.count()
+    stages["blocking"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    cand = P.candidate_pairs(keys, hot_pair_threshold=100_000, max_block_size=2000).persist()
+    n_pairs = cand.count()
+    stages["candidates"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    scored = scoring.score_pairs(cand, records).persist()
+    scored.count()
+    stages["scoring"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    clusters = cluster.connected_components(scoring.matched_edges(scored))
+    n_clusters = clusters.select("cluster_id").distinct().count()
+    stages["cc"] = round(time.perf_counter() - t0, 2)
+
+    wall = time.perf_counter() - t_all
+    return {
+        "layer": "2staged", "cores": cores, "pairs_scored": n_pairs,
+        "n_clusters": n_clusters, "stages": stages, "wall_sec": round(wall, 2),
+    }
+
+
 def leg_layer2(cores: int) -> dict:
     """Timed full pipeline (documents -> clusters)."""
     from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.plans.reconcile import (
@@ -167,25 +218,29 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--prep", action="store_true")
     ap.add_argument("--leg", type=int, default=0)
-    ap.add_argument("--layer", type=int, default=1)
+    ap.add_argument("--layer", type=str, default="1", choices=["1", "2", "2s"])
     args = ap.parse_args()
     if args.prep:
         prep()
         return
     if args.leg:
-        fn = leg_layer1 if args.layer == 1 else leg_layer2
+        fn = {"1": leg_layer1, "2": leg_layer2, "2s": leg_layer2_staged}[args.layer]
         print(json.dumps(fn(args.leg)))
         return
 
     if not os.path.exists(f"{PREP_DIR}/candidates.parquet"):
         _run_sub(["--prep"])
 
-    best: dict[tuple[int, int], dict] = {}
+    best: dict[tuple[str, int], dict] = {}
     for _round in range(ROUNDS):
-        for layer, cores in ((1, LEG_N), (1, LEG_4N), (2, LEG_N), (2, LEG_4N)):
-            if layer == 2 and _round >= 1:
-                continue  # layer 2 is context; one round per leg suffices
-            r = _run_sub(["--leg", str(cores), "--layer", str(layer)])
+        for layer, cores in (
+            ("1", LEG_N), ("1", LEG_4N),
+            ("2", LEG_N), ("2", LEG_4N),
+            ("2s", LEG_N), ("2s", LEG_4N),
+        ):
+            if layer in ("2", "2s") and _round >= 2:
+                continue  # layer 2 is context; two interleaved rounds suffice
+            r = _run_sub(["--leg", str(cores), "--layer", layer])
             print(r)
             k = (layer, cores)
             if k not in best or r["wall_sec"] < best[k]["wall_sec"]:
@@ -196,18 +251,27 @@ def main():
         t4N = best[(layer, LEG_4N)]["wall_sec"]
         return tN / t4N, (tN / t4N) / (LEG_4N / LEG_N)
 
-    s1, e1 = eff(1)
-    s2, e2 = eff(2)
+    s1, e1 = eff("1")
+    s2, e2 = eff("2")
+    sn, s4 = best[("2s", LEG_N)]["stages"], best[("2s", LEG_4N)]["stages"]
+    stage_rows = []
+    for st in ("extract", "blocking", "candidates", "scoring", "cc"):
+        sp = sn[st] / s4[st] if s4[st] else float("nan")
+        stage_rows.append(
+            f"| {st} | {sn[st]} | {s4[st]} | {sp:.2f}x | {sp / (LEG_4N / LEG_N):.3f} |"
+        )
+    stage_table = "\n".join(stage_rows)
     summary = {
-        "scoring_job": {str(c): best[(1, c)] for c in (LEG_N, LEG_4N)},
-        "full_pipeline": {str(c): best[(2, c)] for c in (LEG_N, LEG_4N)},
+        "scoring_job": {str(c): best[("1", c)] for c in (LEG_N, LEG_4N)},
+        "full_pipeline": {str(c): best[("2", c)] for c in (LEG_N, LEG_4N)},
+        "pipeline_stages": {str(c): best[("2s", c)] for c in (LEG_N, LEG_4N)},
         "scoring_speedup": round(s1, 3), "scoring_efficiency": round(e1, 3),
         "pipeline_speedup": round(s2, 3), "pipeline_efficiency": round(e2, 3),
     }
     print(json.dumps(summary))
 
-    b1n, b14 = best[(1, LEG_N)], best[(1, LEG_4N)]
-    b2n, b24 = best[(2, LEG_N)], best[(2, LEG_4N)]
+    b1n, b14 = best[("1", LEG_N)], best[("1", LEG_4N)]
+    b2n, b24 = best[("2", LEG_N)], best[("2", LEG_4N)]
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "BENCH.md"), "w") as f:
         f.write(f"""# BENCH — two-cluster-size scaling evidence (north_rule)
@@ -244,6 +308,12 @@ small-star CC, end to end in one run.
 | local[{LEG_4N}] | {b24['wall_sec']} | {b24['pairs_per_sec']} |
 
 - speedup at 4x resources: **{s2:.2f}x** -> efficiency **{e2:.3f}**
+
+### Per-stage attribution (interleaved min-of-2, same input)
+
+| stage | local[{LEG_N}] (s) | local[{LEG_4N}] (s) | speedup | efficiency |
+|---|---|---|---|---|
+{stage_table}
 
 Layer 2 runs all stages in one shared local JVM where the shuffle-heavy
 blocking/join/CC phases are memory-bandwidth-bound and contend with host
