@@ -104,7 +104,12 @@ def simhash_near_pairs(
             return shifted.alias(f"blk{i}")  # overflow a signed 64-bit long
         return shifted.bitwiseAND(F.lit((1 << widths[i]) - 1)).alias(f"blk{i}")
 
-    blocks = codes.select("id", "simhash", *[_block(i) for i in range(n_blocks)])
+    # persist: every block family references this twice (self-join sides),
+    # so without a materialization the simhash UDF would run 2*n_blocks
+    # times over the corpus (same lesson as the LSH banding pass)
+    blocks = codes.select(
+        "id", "simhash", *[_block(i) for i in range(n_blocks)]
+    ).persist()
     parts = []
     for i in range(n_blocks):
         k = blocks.select(
