@@ -1897,6 +1897,47 @@ def o6(spark, sf):
     )
 
 
+_T10_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+           - n_tokens AS tok_before
+  FROM toks
+)
+SELECT doc_id, source, n_tokens,
+       CAST(tok_before // 2048 AS BIGINT) AS pack_id,
+       CAST(tok_before % 2048 AS BIGINT) AS pack_offset
+FROM packed ORDER BY source, doc_id
+"""
+
+
+@_q("t10_sequence_packing", _T10_ORACLE)
+def t10(spark, sf):
+    # concat-and-chunk sequence packing (the LLM-pretraining shape): docs are
+    # concatenated in deterministic order within each stratum and cut into
+    # fixed 2048-token packs; each doc gets the pack id + offset where its
+    # first token lands. One shuffle on the stratum key; the running sum is
+    # a single window, no driver loop.
+    from pyspark.sql import Window
+
+    d = _t(spark, sf, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    toks = d.select("doc_id", "source", n_tok.alias("n_tokens"))
+    packed = toks.withColumn(
+        "tok_before", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return packed.select(
+        "doc_id", "source", "n_tokens",
+        F.floor(F.col("tok_before") / 2048).cast("long").alias("pack_id"),
+        F.pmod(F.col("tok_before"), F.lit(2048)).cast("long").alias("pack_offset"),
+    ).orderBy("source", "doc_id")
+
+
 def _synthetic_works(spark, sf):
     """Nested OPENALEX_WORKS-shaped rows synthesized deterministically from
     the orders table (shared by the x6 and a8 queries and their oracles)."""

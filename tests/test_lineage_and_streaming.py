@@ -170,3 +170,68 @@ def test_windowed_counts_watermark_drops_late(spark, tmp_path):
            for r in r2} - done1
     assert (90, 1, 3) in new
     assert all(w != 10 for (w, _, _) in new), "late event resurrected a closed window"
+
+
+def test_sessionize_stream_matches_batch_sessions(spark, tmp_path):
+    """Streaming sessionization (stateful, cross-batch) must produce exactly
+    the sessions the batch lag+cumsum computation (query t9's shape) yields,
+    once every real session is closed by a flush event beyond the gap."""
+    import json
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.streaming.sessionize import (
+        sessionize_stream,
+    )
+
+    base = 1_700_000_000  # epoch seconds
+    # user 10: two sessions split by a 2000 s gap, session 1 spans batches;
+    # user 20: one session, plus an in-session straggler arriving in batch 2
+    ev = {
+        "a.json": [
+            (10, base + 0), (10, base + 60),
+            (20, base + 5), (20, base + 400),
+        ],
+        "b.json": [
+            (10, base + 120),            # continues session 1 cross-batch
+            (10, base + 120 + 2000),     # gap > 1800 -> closes session 1
+            (20, base + 200),            # straggler: ts < last_seen
+            (20, base + 700),
+        ],
+        # flush events: > gap beyond every user's last event, closing the
+        # trailing sessions (excluded from the expected comparison)
+        "z.json": [(10, base + 10_000), (20, base + 10_000)],
+    }
+
+    src = tmp_path / "in"
+    src.mkdir()
+    for name, rows in ev.items():
+        (src / name).write_text(
+            "\n".join(json.dumps({"user_id": u, "ts": t}) for u, t in rows)
+        )
+
+    stream = (
+        spark.readStream.schema("user_id long, ts long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .select("user_id", F.timestamp_seconds(F.col("ts")).alias("ts"))
+    )
+    q = (
+        sessionize_stream(stream, gap_s=1800)
+        .writeStream.format("memory").queryName("sess_t")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start_us // 1_000_000,
+         r.session_end_us // 1_000_000, r.n_events)
+        for r in spark.sql("SELECT * FROM sess_t").collect()
+    }
+
+    # batch expectation from the raw (non-flush) events, 30-min gap rule:
+    # sessions are (user, start, end, n); the straggler ts<=last counts in
+    expected = {
+        (10, base + 0, base + 120, 3),
+        (10, base + 2120, base + 2120, 1),
+        (20, base + 5, base + 700, 4),
+    }
+    assert got == expected
