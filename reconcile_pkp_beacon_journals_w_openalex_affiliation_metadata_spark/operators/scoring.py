@@ -18,7 +18,9 @@ from pyspark.sql import functions as F
 
 from ..functions.udfs import sim_features_udf
 
-# calibrated logistic coefficients (offline fit on synth labeled pairs, seed 42)
+# calibrated logistic coefficients (offline fit on synth labeled pairs, seed 42);
+# operators/calibrate.py re-fits these distributed (pyspark.ml LBFGS) and its
+# output plugs into score_pairs(weights=..., threshold=...) unchanged
 W_BIAS = -14.0
 W_INDEL = 8.0      # on score/100
 W_JW = 3.0
@@ -27,6 +29,16 @@ W_ISSN = 6.0
 W_DOMAIN = 1.5
 W_COUNTRY = 0.5
 DECISION_THRESHOLD = 0.5
+
+DEFAULT_WEIGHTS: dict[str, float] = {
+    "bias": W_BIAS,
+    "indel": W_INDEL,
+    "jw": W_JW,
+    "tsr": W_TSR,
+    "issn": W_ISSN,
+    "domain": W_DOMAIN,
+    "country": W_COUNTRY,
+}
 
 
 def _side(records: DataFrame, side: str, prefix: str) -> DataFrame:
@@ -38,8 +50,18 @@ def _side(records: DataFrame, side: str, prefix: str) -> DataFrame:
     )
 
 
-def score_pairs(pairs: DataFrame, records: DataFrame) -> DataFrame:
+def score_pairs(
+    pairs: DataFrame,
+    records: DataFrame,
+    weights: dict[str, float] | None = None,
+    threshold: float | None = None,
+) -> DataFrame:
     """Attach features + matched decision to candidate pairs.
+
+    ``weights``/``threshold`` default to the shipped constants; pass a
+    ``calibrate.Calibration``'s fields to serve a freshly fitted model —
+    either way the logistic stays pure native column math (the coefficients
+    are plan literals, nothing Python-side at serve time).
 
     Plan shape at scale: pairs (huge) shuffle-hash-joins records (smaller) on
     doc_id twice; similarity UDFs run on the joined batches (Arrow); the
@@ -47,6 +69,35 @@ def score_pairs(pairs: DataFrame, records: DataFrame) -> DataFrame:
     """
     l = _side(records, "pkp", "l_")
     r = _side(records, "oa", "r_")
+    return _attach_features(pairs, l, r, weights, threshold)
+
+
+def score_record_pairs(
+    pairs: DataFrame,
+    records: DataFrame,
+    weights: dict[str, float] | None = None,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Side-agnostic scorer for arbitrary (left_id, right_id) pairs.
+
+    Same features/logistic as ``score_pairs``, but both sides resolve by
+    doc_id against the full records table — used to score labeled ground
+    truth (which includes same-side negative pairs) for calibration, and
+    any ad-hoc pair list a user brings.
+    """
+    cols = ["doc_id", "norm_title", "norm_issn", "domain", "country"]
+    l = records.select(*[F.col(c).alias(f"l_{c}") for c in cols])
+    r = records.select(*[F.col(c).alias(f"r_{c}") for c in cols])
+    return _attach_features(pairs, l, r, weights, threshold)
+
+
+def _attach_features(
+    pairs: DataFrame,
+    l: DataFrame,
+    r: DataFrame,
+    weights: dict[str, float] | None,
+    threshold: float | None,
+) -> DataFrame:
     df = (
         pairs.join(l, pairs.left_id == l.l_doc_id, "inner")
         .join(r, pairs.right_id == r.r_doc_id, "inner")
@@ -77,21 +128,23 @@ def score_pairs(pairs: DataFrame, records: DataFrame) -> DataFrame:
             ),
         }
     )
+    w = {**DEFAULT_WEIGHTS, **(weights or {})}
+    thr = DECISION_THRESHOLD if threshold is None else threshold
     z = (
-        F.lit(W_BIAS)
-        + F.lit(W_INDEL) * F.col("title_indel") / 100.0
-        + F.lit(W_JW) * F.col("title_jw") / 100.0
-        + F.lit(W_TSR) * F.col("title_tsr") / 100.0
-        + F.lit(W_ISSN) * F.col("issn_exact").cast("double")
-        + F.lit(W_DOMAIN) * F.col("domain_match").cast("double")
-        + F.lit(W_COUNTRY) * F.col("country_match").cast("double")
+        F.lit(w["bias"])
+        + F.lit(w["indel"]) * F.col("title_indel") / 100.0
+        + F.lit(w["jw"]) * F.col("title_jw") / 100.0
+        + F.lit(w["tsr"]) * F.col("title_tsr") / 100.0
+        + F.lit(w["issn"]) * F.col("issn_exact").cast("double")
+        + F.lit(w["domain"]) * F.col("domain_match").cast("double")
+        + F.lit(w["country"]) * F.col("country_match").cast("double")
     )
     df = df.drop("_sim").withColumn(
         "match_prob", F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
     )
     return df.withColumn(
         "is_match_pred",
-        F.col("issn_exact") | (F.col("match_prob") >= F.lit(DECISION_THRESHOLD)),
+        F.col("issn_exact") | (F.col("match_prob") >= F.lit(thr)),
     )
 
 
