@@ -81,9 +81,22 @@ class Catalog:
     def write_committed(
         self, df: DataFrame, name: str, partition_by: list[str] | None = None,
         meta: dict | None = None,
+        bucket_by: tuple[list[str], int] | None = None,
     ) -> None:
         """Write + atomic publish. Invariant at every crash point: the
         committed state is marker-AND-data or neither.
+
+        ``bucket_by=(cols, n)`` hash-buckets the table on ``cols`` (sorted
+        within buckets): a downstream join or aggregation keyed on those
+        columns reads pre-shuffled, pre-sorted data — SortMergeJoin with
+        ZERO Exchange when both sides are bucketed to the same count. At
+        100 TB this converts the scoring join's per-run shuffle of the
+        records table into a one-time write cost amortized across every
+        stage that joins on the key. Bucket specs live in catalog table
+        metadata, so this needs the ``table`` backend (or ``iceberg``,
+        which expresses it as a bucket partition transform); the marker
+        backend raises — Spark will not trust bucket layout on bare
+        parquet dirs.
 
         Overwrite order matters: the old _COMMIT marker is removed BEFORE
         the old data dir is deleted (a crash in between leaves an
@@ -95,11 +108,15 @@ class Catalog:
         Spark catalog registers the table only after a successful write;
         Iceberg's createOrReplace is one snapshot commit."""
         if self.backend == "iceberg":
-            w = df.writeTo(self._table_ident(name)).using("iceberg")
-            if partition_by:
-                from pyspark.sql import functions as F
+            from pyspark.sql import functions as F
 
-                w = w.partitionedBy(*[F.col(c) for c in partition_by])
+            w = df.writeTo(self._table_ident(name)).using("iceberg")
+            parts = [F.col(c) for c in (partition_by or [])]
+            if bucket_by:
+                cols, n = bucket_by
+                parts += [F.bucket(n, c) for c in cols]
+            if parts:
+                w = w.partitionedBy(*parts)
             if meta:
                 for k, v in meta.items():
                     w = w.tableProperty(f"graft.{k}", str(v))
@@ -111,8 +128,16 @@ class Catalog:
             )
             if partition_by:
                 w = w.partitionBy(*partition_by)
+            if bucket_by:
+                cols, n = bucket_by
+                w = w.bucketBy(n, *cols).sortBy(*cols)
             w.saveAsTable(self._table_ident(name))
             return
+        if bucket_by:
+            raise ValueError(
+                "bucket_by needs catalog table metadata; use backend='table' "
+                "or 'iceberg' (the marker backend writes bare parquet dirs)"
+            )
         tdir = self._dir(name)
         staging = os.path.join(tdir, f"_staging_{uuid.uuid4().hex[:8]}")
         data = os.path.join(tdir, "data")
