@@ -1226,19 +1226,13 @@ def _minhash_perm_values(num_perm: int = 64, seed: int = 42) -> str:
     return ", ".join(f"({i}, {int(a[i])}, {int(b[i])})" for i in range(num_perm))
 
 
-def _x1_oracle() -> str:
-    """Full independent DuckDB recompute of the flagship: synthesize the
-    span-derived record fields from documents, rebuild both LSH band
-    families (inlined perm constants), apply the 500-row block cap, join
-    candidate pairs, then score with recursive-CTE InDel and Jaro-Winkler
-    (greedy window matching) plus the fuzzywuzzy token_set_ratio, and the
-    calibrated logistic. Matches plans/reconcile.reconcile(max_block_size=500).
-    """
+def _blocking_allkeys_ctes() -> str:
+    """Shared CTE prefix (x1 + x8 oracles): documents -> span-derived record
+    fields -> both LSH band families (inlined perm constants) + domain keys,
+    ending in CTE ``allkeys`` (id, side, key)."""
     wperms = _minhash_perm_values(64, 42)
     cperms = _minhash_perm_values(64, 137)
-    return f"""
-WITH RECURSIVE
-wperms(pid, pa, pb) AS (VALUES {wperms}),
+    return f"""wperms(pid, pa, pb) AS (VALUES {wperms}),
 cperms(pid, pa, pb) AS (VALUES {cperms}),
 recs AS (
   SELECT (CASE WHEN doc_id % 2 = 0 THEN 'pkp' ELSE 'oa' END) AS side,
@@ -1300,7 +1294,20 @@ allkeys AS (
   FROM (SELECT * FROM wbands UNION ALL SELECT * FROM cbands
         UNION ALL SELECT * FROM dkeys) k
   JOIN recs r ON r.id = k.id
-),
+)"""
+
+
+def _x1_oracle() -> str:
+    """Full independent DuckDB recompute of the flagship: synthesize the
+    span-derived record fields from documents, rebuild both LSH band
+    families (inlined perm constants), apply the 500-row block cap, join
+    candidate pairs, then score with recursive-CTE InDel and Jaro-Winkler
+    (greedy window matching) plus the fuzzywuzzy token_set_ratio, and the
+    calibrated logistic. Matches plans/reconcile.reconcile(max_block_size=500).
+    """
+    return f"""
+WITH RECURSIVE
+{_blocking_allkeys_ctes()},
 kept AS (
   SELECT id, side, key FROM allkeys
   QUALIFY count(*) OVER (PARTITION BY key) <= 500
@@ -2040,6 +2047,131 @@ def x5(spark, sf):
     return media.select(
         "doc_id", F.col("m.media_ref").alias("media_ref"), F.col("m.offset").alias("offset")
     ).orderBy("doc_id", "offset")
+
+
+def _x8_oracle() -> str:
+    return f"""
+WITH RECURSIVE
+{_blocking_allkeys_ctes()},
+sizes AS (
+  SELECT key,
+         sum(CASE WHEN side = 'pkp' THEN 1 ELSE 0 END) AS n_left,
+         sum(CASE WHEN side = 'oa' THEN 1 ELSE 0 END) AS n_right,
+         count(*) AS block_size
+  FROM allkeys GROUP BY key
+)
+SELECT split_part(key, ':', 1) AS family,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(block_size) AS BIGINT) AS n_memberships,
+       CAST(max(block_size) AS BIGINT) AS max_block_size,
+       CAST(sum(n_left * n_right) AS BIGINT) AS total_pairs,
+       CAST(max(n_left * n_right) AS BIGINT) AS max_pairs,
+       CAST(sum(CASE WHEN n_left * n_right > 10000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hot_keys
+FROM sizes
+GROUP BY family
+ORDER BY family
+"""
+
+
+@_q("x8_block_skew_profile", _x8_oracle())
+def x8(spark, sf):
+    # the skew diagnostic that drives candidate_pairs' salting/drop decisions
+    # (pairs.py): per key family — how many blocks, how big the worst one is,
+    # the total pair volume it would emit, and how many keys cross the hot
+    # threshold. At 100 TB this one cheap agg is what you run BEFORE the join.
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.operators import (
+        blocking,
+        extract,
+    )
+
+    docs = wrap_documents_as_spans(_t(spark, sf, "documents"))
+    records = extract.extract_records(docs)
+    sizes = blocking.block_size_metrics(blocking.blocking_keys(records))
+    prod = F.col("n_left") * F.col("n_right")
+    return (
+        sizes.groupBy(F.substring_index("key", ":", 1).alias("family"))
+        .agg(
+            F.count("*").cast("long").alias("n_keys"),
+            F.sum("block_size").cast("long").alias("n_memberships"),
+            F.max("block_size").cast("long").alias("max_block_size"),
+            F.sum(prod).cast("long").alias("total_pairs"),
+            F.max(prod).cast("long").alias("max_pairs"),
+            F.sum((prod > 10_000).cast("int")).cast("long").alias("n_hot_keys"),
+        )
+        .orderBy("family")
+    )
+
+
+def _x9_oracle() -> str:
+    # full IVF recompute in SQL: deterministic centroid pick (md5 order),
+    # per-vector cell argmax at round-6 (ties -> larger cell, matching the
+    # numpy picker), 4-cell probe per query, round-3 scoring with +0.0
+    # signed-zero normalization (the t6/x4 discipline)
+    return """
+WITH cents AS (
+  SELECT (row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)))) - 1 AS cell,
+         embedding
+  FROM embeddings WHERE vec_id >= 8
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) <= 16
+),
+assign AS (
+  SELECT e.vec_id, e.embedding, c.cell
+  FROM (SELECT * FROM embeddings WHERE vec_id >= 8) e CROSS JOIN cents c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id
+    ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6) DESC,
+             c.cell DESC) = 1
+),
+qprobe AS (
+  SELECT q.vec_id AS q_id, q.embedding AS q_vec, c.cell
+  FROM (SELECT * FROM embeddings WHERE vec_id < 8) q CROSS JOIN cents c
+  QUALIFY row_number() OVER (
+    PARTITION BY q.vec_id
+    ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6) DESC,
+             c.cell DESC) <= 4
+)
+SELECT q_id, vec_id, cos_sim FROM (
+  SELECT p.q_id, a.vec_id,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(p.q_vec AS DOUBLE[])), 3) + 0.0 AS cos_sim
+  FROM qprobe p JOIN assign a ON a.cell = p.cell
+  QUALIFY row_number() OVER (
+    PARTITION BY p.q_id
+    ORDER BY round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(p.q_vec AS DOUBLE[])), 3) DESC,
+             a.vec_id) <= 5
+)
+ORDER BY q_id, cos_sim DESC, vec_id
+"""
+
+
+@_q("x9_ann_ivf_topk", _x9_oracle())
+def x9(spark, sf):
+    # IVF ANN end-to-end as a value-verified query: the deterministic
+    # centroid pick + closure-matrix assignment (similarity_search.py) at
+    # round-6, 4-of-16 cell probe, round-3 scoring. Complements x4 (LSH ANN)
+    # and t6 (brute force) — all three ANN paths now DuckDB-oracled.
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.operators.similarity_search import (
+        build_ivf_index,
+        ivf_topk,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    base = emb.where(F.col("vec_id") >= 8)
+    qs = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    assigned, cents = build_ivf_index(base, n_cells=16, assign_decimals=6)
+    res = ivf_topk(
+        assigned, cents, qs, k=5, n_probe=4,
+        assign_decimals=6, score_decimals=3,
+    )
+    return res.select(
+        "q_id", "vec_id", (F.col("cos_sim") + F.lit(0.0)).alias("cos_sim")
+    ).orderBy("q_id", F.col("cos_sim").desc(), "vec_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

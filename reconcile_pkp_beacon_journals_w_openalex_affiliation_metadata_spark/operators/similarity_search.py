@@ -56,12 +56,15 @@ def brute_force_topk(
     )
 
 
-def _nearest_cells_udf(centroids: list[tuple[int, list[float]]], n: int):
+def _nearest_cells_udf(
+    centroids: list[tuple[int, list[float]]], n: int, decimals: int = 9
+):
     """Arrow-batched nearest-centroid picker: the centroid matrix travels in
     the UDF closure (serialized once per executor), the batch of vectors is
     one numpy matmul — map-only, no join, no O(cells x dim) literals in the
     plan. Ordering matches the previous literal-struct argmax: cosine rounded
-    to 9, ties broken toward the larger cell id."""
+    to ``decimals``, ties broken toward the larger cell id (the x9 driver
+    query uses decimals=6 so a DuckDB oracle can replicate the argmax)."""
     cids = np.array([cid for cid, _ in centroids], dtype=np.int64)
     mat = np.array([v for _, v in centroids], dtype=np.float64)
     cn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
@@ -70,7 +73,7 @@ def _nearest_cells_udf(centroids: list[tuple[int, list[float]]], n: int):
     def pick(vecs: pd.Series) -> pd.Series:
         v = np.array(vecs.tolist(), dtype=np.float64)  # (b, dim)
         vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-300)
-        sims = np.round(vn @ cn.T, 9)  # (b, cells)
+        sims = np.round(vn @ cn.T, decimals)  # (b, cells)
         # desc by sim, ties desc by cell id (reverse(array_sort) parity)
         order = np.lexsort((-cids[None, :].repeat(len(v), 0), -sims), axis=1)
         top = order[:, :n]
@@ -83,6 +86,7 @@ def _nearest_cells_udf(centroids: list[tuple[int, list[float]]], n: int):
 def build_ivf_index(
     vectors: DataFrame, n_cells: int = 16,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    assign_decimals: int = 9,
 ) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
     """Deterministic coarse quantizer: centroids = the n_cells vectors with
     the smallest md5(id). ``orderBy(...).limit(n)`` compiles to
@@ -97,7 +101,7 @@ def build_ivf_index(
         .collect()
     )
     centroids = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(cent_rows)]
-    pick1 = _nearest_cells_udf(centroids, 1)
+    pick1 = _nearest_cells_udf(centroids, 1, decimals=assign_decimals)
     assigned = vectors.withColumn("cell", pick1(F.col(vec_col))[0])
     return assigned, centroids
 
@@ -107,14 +111,17 @@ def ivf_topk(
     queries: DataFrame, k: int = 10, n_probe: int = 4,
     id_col: str = "vec_id", vec_col: str = "embedding",
     q_id_col: str = "q_id", q_vec_col: str = "q_vec",
+    assign_decimals: int = 9, score_decimals: int = 6,
 ) -> DataFrame:
     """Approximate top-k: each query probes its n_probe nearest cells only."""
-    pick = _nearest_cells_udf(centroids, n_probe)
+    pick = _nearest_cells_udf(centroids, n_probe, decimals=assign_decimals)
     q = queries.withColumn("cell", F.explode(pick(F.col(q_vec_col))))
     joined = assigned.join(q, "cell", "inner")
     scored = joined.select(
         F.col(q_id_col), F.col(id_col),
-        F.round(cosine(F.col(vec_col), F.col(q_vec_col)), 6).alias("cos_sim"),
+        F.round(cosine(F.col(vec_col), F.col(q_vec_col)), score_decimals).alias(
+            "cos_sim"
+        ),
     )
     w = Window.partitionBy(q_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
     return (
