@@ -43,6 +43,7 @@ HEADLINE = [
     "t6_embedding_topk",
     "x2_minhash_lsh_pairs",
     "x4_ann_lsh_topk",
+    "x9_ann_ivf_topk",
 ]
 
 
