@@ -2174,6 +2174,37 @@ def x9(spark, sf):
     ).orderBy("q_id", F.col("cos_sim").desc(), "vec_id")
 
 
+def _a11_oracle() -> str:
+    # the lineage table's match-rate rows, recomputed over the full flagship
+    # oracle (x1 as a subquery): long/long division of identical integers is
+    # bit-identical IEEE on both engines, so the raw rate is hash-safe
+    return f"""
+SELECT 'r' AS run_id, 'scoring' AS stage, -1 AS partition_id,
+       'match_rate:' || split_part(blocking_key, ':', 1) AS metric,
+       CAST(sum(CASE WHEN is_match_pred THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+         AS value
+FROM ({_x1_oracle()}) x
+GROUP BY split_part(blocking_key, ':', 1)
+ORDER BY metric
+"""
+
+
+@_q("a11_match_rate_by_family", _a11_oracle())
+def a11(spark, sf):
+    # north_rule "per-partition lineage + match-rate metrics": the metrics
+    # rows the scoring stage appends to the lineage table, value-verified
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.operators.lineage import (
+        match_rate_metrics,
+    )
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.plans.reconcile import (
+        reconcile,
+    )
+
+    docs = wrap_documents_as_spans(_t(spark, sf, "documents"))
+    res = reconcile(docs, with_clusters=False, max_block_size=500)
+    return match_rate_metrics(res.scored, run_id="r").orderBy("metric")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_Q)
 

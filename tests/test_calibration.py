@@ -92,6 +92,38 @@ def test_best_threshold_picks_separating_cut(spark):
     assert 0.3 < thr <= 0.8
 
 
+def test_best_threshold_matches_bruteforce_on_random_cases(spark):
+    """Differential check: the distributed sweep equals an exhaustive local
+    sweep (same quantization, same F1-desc-then-prob-desc tie rule)."""
+    import random
+
+    def brute(rows):
+        probs = sorted({round(p, 4) for p, _ in rows}, reverse=True)
+        total_pos = sum(l for _, l in rows)
+        best_t, best_f1 = None, -1.0
+        for t in probs:
+            tp = sum(l for p, l in rows if round(p, 4) >= t)
+            fp = sum(1 - l for p, l in rows if round(p, 4) >= t)
+            f1 = 2.0 * tp / (2.0 * tp + fp + total_pos - tp)
+            if f1 > best_f1:  # strict: ties keep the higher prob
+                best_t, best_f1 = t, f1
+        return best_t, best_f1
+
+    for seed in range(5):
+        rng = random.Random(seed)
+        rows = [
+            (rng.randrange(101) / 100.0, rng.randrange(2))
+            for _ in range(rng.randrange(5, 40))
+        ]
+        rows[0] = (rows[0][0], 1)  # at least one positive
+        df = spark.createDataFrame(
+            [(p, float(l)) for p, l in rows], "prob double, label double"
+        )
+        got_t, got_f1 = calibrate.best_threshold(df)
+        want_t, want_f1 = brute(rows)
+        assert (got_t, got_f1) == (want_t, want_f1), f"seed={seed}"
+
+
 def test_best_threshold_trades_off(spark):
     # one inseparable negative above the positives: best F1 keeps all
     # positives (tp=3, fp=1 -> F1 = 6/7) rather than cutting above them
