@@ -2,11 +2,13 @@
 
 Per ``input_hint``: "vectorized pandas/Arrow UDFs (no per-row Python)
 throughout". Each UDF receives whole Arrow batches as pandas Series; the
-bodies loop in tight Python over the batch (there is no C kernel available
-for InDel/JW in this environment), which is the documented fallback of
-SURVEY.md §2.10. Everything that CAN stay native (regex normalize steps,
-url parsing, array ops) is native in ``native.py`` — these UDFs cover only
-ascii-fold transliteration and the similarity scorers.
+similarity scorers run the batch through the numpy lock-step kernels
+(``batch_kernels.py`` — every pair advances one character per step, all
+pairs at once, bit-exact with the scalar oracles in ``kernels.py``), or
+through rapidfuzz C++ when installed (SURVEY.md §2.10). Everything that
+CAN stay native (regex normalize steps, url parsing, array ops) is native
+in ``native.py`` — these UDFs cover only ascii-fold transliteration and
+the similarity scorers.
 """
 
 from __future__ import annotations
@@ -94,20 +96,39 @@ def sim_features_udf(a: pd.Series, b: pd.Series) -> pd.DataFrame:
             },
             index=a.index,
         ).astype("float64")
+    import numpy as np
+
+    from . import batch_kernels
+
     n = len(a)
-    indel = [0.0] * n
-    jw = [0.0] * n
-    tsr = [0.0] * n
-    memo: dict[tuple, tuple] = {}
+    indel = np.full(n, 100.0)
+    jw = np.full(n, 100.0)
+    tsr = np.full(n, 100.0)
+    # distinct non-equal pairs only (equal pairs short-circuit to 100);
+    # the whole distinct set is then scored in one numpy lock-step pass
+    seen: dict[tuple, int] = {}
+    da: list = []
+    db: list = []
+    rows: list[int] = []
+    didx: list[int] = []
     for i, (x, y) in enumerate(zip(a, b)):
         if x == y:
-            indel[i] = jw[i] = tsr[i] = 100.0
             continue
         key = (x, y)
-        hit = memo.get(key)
-        if hit is None:
-            hit = memo[key] = kernels.sim_triple(x, y)
-        indel[i], jw[i], tsr[i] = hit
+        j = seen.get(key)
+        if j is None:
+            j = seen[key] = len(da)
+            da.append(x)
+            db.append(y)
+        rows.append(i)
+        didx.append(j)
+    if da:
+        vi, vj, vt = batch_kernels.sim_triple_batch(da, db)
+        ri = np.asarray(rows)
+        di = np.asarray(didx)
+        indel[ri] = vi[di]
+        jw[ri] = vj[di]
+        tsr[ri] = vt[di]
     return pd.DataFrame({"indel": indel, "jw": jw, "tsr": tsr}, index=a.index)
 
 
@@ -162,14 +183,34 @@ def norm_nonempty_array_udf(arr: pd.Series) -> pd.Series:
 @F.pandas_udf(T.DoubleType())
 def max_indel_over_array_udf(q: pd.Series, arr: pd.Series) -> pd.Series:
     """max(fuzz.ratio(q, x) for x in arr), 0.0 on empty — the institution
-    score loop of check_landing_page...py:230-241."""
+    score loop of check_landing_page...py:230-241. The (query, candidate)
+    pairs are flattened and scored in one numpy lock-step pass, then
+    max-reduced back per row."""
+    import numpy as np
 
-    def one(query, cands):
+    from . import batch_kernels
+
+    n = len(q)
+    out = np.zeros(n, dtype=np.float64)
+    fa: list = []
+    fb: list = []
+    rows: list[int] = []
+    for i, (query, cands) in enumerate(zip(q, arr)):
         if not query or cands is None or len(cands) == 0:
-            return 0.0
-        return max(kernels.indel_ratio(query, c) for c in cands)
-
-    return pd.Series([one(x, y) for x, y in zip(q, arr)], index=q.index, dtype="float64")
+            continue
+        for c in cands:
+            fa.append(query)
+            fb.append(c)
+            rows.append(i)
+    if fa:
+        vals = batch_kernels._dispatch_pairs(
+            [x or "" for x in fa],
+            [y or "" for y in fb],
+            batch_kernels.indel_ratio_batch,
+            kernels.indel_ratio,
+        )
+        np.maximum.at(out, np.asarray(rows), vals)
+    return pd.Series(out, index=q.index, dtype="float64")
 
 
 @F.pandas_udf(T.LongType())
