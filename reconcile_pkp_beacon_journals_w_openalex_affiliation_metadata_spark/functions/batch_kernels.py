@@ -398,7 +398,7 @@ def _vec_ok(s: str) -> bool:
     return len(s) <= MAX_VEC_LEN and s.isascii()
 
 
-def _dispatch_pairs(a_list, b_list, batch_fn, scalar_fn, vec_mask=None) -> np.ndarray:
+def dispatch_pairs(a_list, b_list, batch_fn, scalar_fn, vec_mask=None) -> np.ndarray:
     """Run batch_fn on vectorizable rows, scalar_fn on the rest."""
     n = len(a_list)
     if vec_mask is None:
@@ -486,10 +486,10 @@ def sim_triple_batch(
         indel = _indel_from_arrays(A, la, B, lb)
         jw = _jw_from_arrays(A, la, B, lb)
     else:
-        indel = _dispatch_pairs(
+        indel = dispatch_pairs(
             av, bv, indel_ratio_batch, kernels.indel_ratio, vec_mask
         )
-        jw = _dispatch_pairs(
+        jw = dispatch_pairs(
             av, bv, jaro_winkler_batch, kernels.jaro_winkler, vec_mask
         )
     tsr = token_set_ratio_batch(av, bv)

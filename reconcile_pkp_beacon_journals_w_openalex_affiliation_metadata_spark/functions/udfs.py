@@ -34,22 +34,39 @@ def ascii_fold_udf(s: pd.Series) -> pd.Series:
 @F.pandas_udf(T.DoubleType())
 def indel_ratio_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     """rapidfuzz fuzz.ratio parity (check_landing_page...py:163-164,232-233)."""
+    from . import batch_kernels
+
     return pd.Series(
-        [kernels.indel_ratio(x, y) for x, y in zip(a, b)], index=a.index, dtype="float64"
+        batch_kernels.dispatch_pairs(
+            [x or "" for x in a], [y or "" for y in b],
+            batch_kernels.indel_ratio_batch, kernels.indel_ratio,
+        ),
+        index=a.index, dtype="float64",
     )
 
 
 @F.pandas_udf(T.DoubleType())
 def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    from . import batch_kernels
+
     return pd.Series(
-        [kernels.jaro_winkler(x, y) for x, y in zip(a, b)], index=a.index, dtype="float64"
+        batch_kernels.dispatch_pairs(
+            [x or "" for x in a], [y or "" for y in b],
+            batch_kernels.jaro_winkler_batch, kernels.jaro_winkler,
+        ),
+        index=a.index, dtype="float64",
     )
 
 
 @F.pandas_udf(T.DoubleType())
 def token_set_ratio_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    from . import batch_kernels
+
     return pd.Series(
-        [kernels.token_set_ratio(x, y) for x, y in zip(a, b)], index=a.index, dtype="float64"
+        batch_kernels.token_set_ratio_batch(
+            [x or "" for x in a], [y or "" for y in b]
+        ),
+        index=a.index, dtype="float64",
     )
 
 
@@ -203,7 +220,7 @@ def max_indel_over_array_udf(q: pd.Series, arr: pd.Series) -> pd.Series:
             fb.append(c)
             rows.append(i)
     if fa:
-        vals = batch_kernels._dispatch_pairs(
+        vals = batch_kernels.dispatch_pairs(
             [x or "" for x in fa],
             [y or "" for y in fb],
             batch_kernels.indel_ratio_batch,
