@@ -55,6 +55,28 @@ def _codes(strs: list[str], L: int) -> np.ndarray:
     return np.frombuffer(buf, dtype=np.uint8).reshape(n, L)
 
 
+# Reused position-mask buffers: Arrow batches arrive in uniform sizes, so
+# the (n, 128) uint64 pm matrix (10 MB at 10k rows) is recycled instead of
+# re-allocated per batch — fresh calloc pages would be first-touch page
+# faults on every batch in every one of the 32 python workers (measured
+# pathological on this host), while fill(0) on a warm buffer is one cheap
+# write pass. Workers are single-threaded; calls within one UDF invocation
+# are sequential, so one buffer per shape suffices.
+_PM_BUF: dict[tuple, np.ndarray] = {}
+
+
+def _zeroed(shape: tuple) -> np.ndarray:
+    buf = _PM_BUF.get(shape)
+    if buf is None:
+        if len(_PM_BUF) > 16:  # varied shapes: don't hoard
+            _PM_BUF.clear()
+        buf = np.zeros(shape, dtype=np.uint64)
+        _PM_BUF[shape] = buf
+    else:
+        buf.fill(0)
+    return buf
+
+
 def _build_pm1(codes: np.ndarray) -> np.ndarray:
     """(n, 128) uint64: PM[i, c] = bitmask of positions of char c in row i.
 
@@ -63,7 +85,7 @@ def _build_pm1(codes: np.ndarray) -> np.ndarray:
     element-wise ``ufunc.at`` over the whole matrix. Pad char 0 is zeroed
     afterwards so ended lanes recirculate their state."""
     n, L = codes.shape
-    pm = np.zeros((n, 128), dtype=np.uint64)
+    pm = _zeroed((n, 128))
     if L == 0:
         return pm
     rows = np.arange(n)
@@ -77,7 +99,7 @@ def _build_pm1(codes: np.ndarray) -> np.ndarray:
 def _build_pmw(codes: np.ndarray, W: int) -> np.ndarray:
     """(n, 128, W) multiword position masks (column-loop scatter)."""
     n, L = codes.shape
-    pm = np.zeros((n, 128, W), dtype=np.uint64)
+    pm = _zeroed((n, 128, W))
     if L == 0:
         return pm
     rows = np.arange(n)

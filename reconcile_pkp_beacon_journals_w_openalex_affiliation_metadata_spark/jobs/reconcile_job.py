@@ -7,7 +7,11 @@ Usage (cluster):
         reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark/jobs/reconcile_job.py \
         --documents s3://corpus/documents --output s3://out/run1 \
         [--resume] [--n-salts 16] [--max-block-size 5000] \
-        [--hot-pair-threshold 5000000]
+        [--hot-pair-threshold 5000000] [--labeled s3://corpus/labeled_pairs]
+
+``--labeled`` re-fits the scoring logistic on the given ground-truth table
+(distributed pyspark.ml fit + F1-optimal threshold sweep) and serves the
+fitted weights instead of the shipped constants.
 
 Usage (sandbox smoke):
 
@@ -37,6 +41,17 @@ def main(argv=None):
     ap.add_argument("--max-block-size", type=int, default=None)
     ap.add_argument("--hot-pair-threshold", type=int, default=1_000_000)
     ap.add_argument("--run-id", default=None)
+    ap.add_argument(
+        "--labeled",
+        help="labeled pairs table (left_id, right_id, is_match): re-fit the "
+        "scoring logistic on it (pyspark.ml) and serve the fitted "
+        "weights/threshold instead of the shipped constants",
+    )
+    ap.add_argument(
+        "--calibrate-synth",
+        action="store_true",
+        help="with --synth: calibrate on the generated labeled pairs",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -51,9 +66,14 @@ def main(argv=None):
     cat = Catalog(args.output)
     force = not args.resume
 
+    labeled = None
     if args.synth:
         corpus = synth.generate(seed=42, n_journals=args.synth)
         docs = spark.createDataFrame(corpus.documents, schema=schemas.DOCUMENTS)
+        if args.calibrate_synth:
+            labeled = spark.createDataFrame(
+                corpus.labeled_pairs, schema=schemas.LABELED_PAIRS
+            )
     else:
         if not args.documents:
             ap.error("--documents or --synth required")
@@ -79,8 +99,26 @@ def main(argv=None):
     )
     lineage_rows.append(lineage.partition_metrics(cand, run_id, "pairs"))
 
+    if args.labeled:
+        labeled = spark.read.parquet(args.labeled)
+    cal = None
+    if labeled is not None:
+        from ..operators import calibrate
+
+        cal = calibrate.fit_calibration(records, labeled)
+        print(
+            f"calibration: n_train={cal.n_train} train_f1={cal.train_f1:.4f} "
+            f"threshold={cal.threshold:.4f} weights={ {k: round(v, 4) for k, v in cal.weights.items()} }"
+        )
+
     scored = run_stage(
-        cat, spark, "scored", lambda: scoring.score_pairs(cand, records), force=force
+        cat, spark, "scored",
+        lambda: scoring.score_pairs(
+            cand, records,
+            weights=cal.weights if cal else None,
+            threshold=cal.threshold if cal else None,
+        ),
+        force=force,
     )
     lineage_rows.append(lineage.partition_metrics(scored, run_id, "scoring"))
     lineage_rows.append(lineage.match_rate_metrics(scored, run_id))
