@@ -417,7 +417,9 @@ def jaro_winkler_batch(a_list: list[str], b_list: list[str]) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def _vec_ok(s: str) -> bool:
-    return len(s) <= MAX_VEC_LEN and s.isascii()
+    # NUL is the pad char of the code matrices, so a literal '\0' in the
+    # input must take the scalar lane (caught by the NUL differential test)
+    return len(s) <= MAX_VEC_LEN and s.isascii() and "\0" not in s
 
 
 def dispatch_pairs(a_list, b_list, batch_fn, scalar_fn, vec_mask=None) -> np.ndarray:

@@ -149,3 +149,41 @@ def test_max_indel_over_array_udf_matches_scalar():
         0.0, 0.0, 0.0, 0.0,
     ]
     assert list(out) == want
+
+
+def test_property_random_unicode_pairs():
+    """Hypothesis sweep: arbitrary text (incl. unicode + whitespace runs)
+    through the batched triple equals the scalar oracles bit-for-bit."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    text = st.text(
+        alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+        max_size=80,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(st.tuples(text, text), min_size=1, max_size=8))
+    def inner(pairs):
+        a = [x for x, _ in pairs]
+        b = [y for _, y in pairs]
+        vi, vj, vt = batch_kernels.sim_triple_batch(a, b)
+        for i, (x, y) in enumerate(pairs):
+            assert vi[i] == kernels.indel_ratio(x, y)
+            assert vj[i] == kernels.jaro_winkler(x, y)
+            assert vt[i] == kernels.token_set_ratio(x, y)
+
+    inner()
+
+
+def test_nul_strings_take_scalar_lane():
+    """'\\0' is the pad char of the code matrices; inputs containing it must
+    fall back to the scalar kernel (they'd otherwise read as ended lanes)."""
+    cases = [("\0", "\0"), ("a\0b", "a\0b"), ("a\0", "ab"), ("\0\0", "x")]
+    a = [x for x, _ in cases]
+    b = [y for _, y in cases]
+    vi, vj, vt = batch_kernels.sim_triple_batch(a, b)
+    for i, (x, y) in enumerate(cases):
+        assert vi[i] == kernels.indel_ratio(x, y), (x, y)
+        assert vj[i] == kernels.jaro_winkler(x, y), (x, y)
+        assert vt[i] == kernels.token_set_ratio(x, y), (x, y)
