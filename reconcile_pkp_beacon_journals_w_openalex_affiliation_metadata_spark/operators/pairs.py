@@ -16,6 +16,11 @@ scale a hot publisher/ISSN key would put an entire block in one task, so:
 
 The final pair set is deduped across key families with a groupBy that also
 records provenance (how many and which keys paired the two docs).
+
+``delta_candidate_pairs`` is the incremental variant: given the committed
+keys and a batch of NEW documents' keys, it emits only the pairs with at
+least one new endpoint (new x all plus old x new) — the old x old join,
+which dominates at scale, is never recomputed.
 """
 
 from __future__ import annotations
@@ -28,23 +33,18 @@ from .blocking import block_size_metrics
 DEFAULT_N_SALTS = 8
 
 
-def candidate_pairs(
-    keys: DataFrame,
-    n_salts: int = DEFAULT_N_SALTS,
-    hot_pair_threshold: int = 1_000_000,
-    max_block_size: int | None = None,
-) -> DataFrame:
-    """(left_id, right_id, blocking_key, n_shared_keys) candidate pairs.
+def _exceptional_lists(
+    sizes: DataFrame,
+    hot_pair_threshold: int,
+    max_block_size: int | None,
+) -> tuple[list, list]:
+    """(dropped_keys, hot_keys) from the size table.
 
-    ``keys``: output of ``blocking.blocking_keys`` — (doc_id, side, key).
-    Left = side 'pkp', right = side 'oa'; a pair is emitted once per shared
-    key, then deduped.
+    Only the EXCEPTIONAL keys come back to the driver — oversized (dropped)
+    and hot (salted) blocks are a handful of keys even at 10^12 docs, so
+    they travel as literal predicates instead of a join against the
+    O(#distinct keys) size table.
     """
-    # ONE size-measuring pass; only the EXCEPTIONAL keys come back to the
-    # driver — oversized (dropped) and hot (salted) blocks are a handful of
-    # keys even at 10^12 docs, so they travel as literal predicates instead
-    # of a join against the O(#distinct keys) size table.
-    sizes = block_size_metrics(keys)
     cond_over = (
         F.col("block_size") > max_block_size
         if max_block_size is not None
@@ -56,7 +56,13 @@ def candidate_pairs(
     ).collect()
     dropped_keys = [r["key"] for r in exceptional if r["oversized"]]
     hot_keys = [r["key"] for r in exceptional if not r["oversized"]]
+    return dropped_keys, hot_keys
 
+
+def _apply_flags(
+    keys: DataFrame, dropped_keys: list, hot_keys: list
+) -> DataFrame:
+    """Drop oversized blocks, mark hot ones with an ``is_hot`` column."""
     k = keys
     if len(dropped_keys) + len(hot_keys) > 10_000:
         # degenerate corpus: too many exceptional keys for literal predicates;
@@ -74,32 +80,84 @@ def candidate_pairs(
             k = k.where(~F.col("key").isin(dropped_keys))
         is_hot = F.col("key").isin(hot_keys) if hot_keys else F.lit(False)
         k = k.withColumn("is_hot", is_hot)
+    return k
 
-    left = k.where(F.col("side") == "pkp").select(
-        F.col("doc_id").alias("left_id"), "key", "is_hot"
-    )
-    right = k.where(F.col("side") == "oa").select(
-        F.col("doc_id").alias("right_id"), "key", "is_hot"
+
+def _side(k: DataFrame, side: str, alias: str) -> DataFrame:
+    return k.where(F.col("side") == side).select(
+        F.col("doc_id").alias(alias), "key", "is_hot"
     )
 
-    # cold path: plain equi-join on key
+
+def _pair_join(left: DataFrame, right: DataFrame, n_salts: int) -> DataFrame:
+    """(left_id, right_id, key) rows: plain equi-join for cold keys, salted
+    left + replicated right for hot keys."""
     cold = left.where(~F.col("is_hot")).drop("is_hot").join(
         right.where(~F.col("is_hot")).drop("is_hot"), "key", "inner"
     ).select("left_id", "right_id", "key")
+    salts = F.array(*[F.lit(i) for i in range(n_salts)])
+    hot_left = left.where(F.col("is_hot")).withColumn(
+        "salt", F.pmod(F.xxhash64("left_id"), F.lit(n_salts)).cast("int")
+    )
+    hot_right = right.where(F.col("is_hot")).withColumn("salt", F.explode(salts))
+    hot = hot_left.join(hot_right, ["key", "salt"], "inner").select(
+        "left_id", "right_id", "key"
+    )
+    return cold.unionByName(hot)
 
-    pairs = cold
-    if hot_keys:
-        # hot path: salt left, replicate right over all salts
-        salts = F.array(*[F.lit(i) for i in range(n_salts)])
-        hot_left = left.where(F.col("is_hot")).withColumn(
-            "salt", F.pmod(F.xxhash64("left_id"), F.lit(n_salts)).cast("int")
-        )
-        hot_right = right.where(F.col("is_hot")).withColumn("salt", F.explode(salts))
-        hot = hot_left.join(hot_right, ["key", "salt"], "inner").select(
-            "left_id", "right_id", "key"
-        )
-        pairs = cold.unionByName(hot)
+
+def _dedup_pairs(pairs: DataFrame) -> DataFrame:
     return pairs.groupBy("left_id", "right_id").agg(
         F.min("key").alias("blocking_key"),
         F.count("*").alias("n_shared_keys"),
     )
+
+
+def candidate_pairs(
+    keys: DataFrame,
+    n_salts: int = DEFAULT_N_SALTS,
+    hot_pair_threshold: int = 1_000_000,
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """(left_id, right_id, blocking_key, n_shared_keys) candidate pairs.
+
+    ``keys``: output of ``blocking.blocking_keys`` — (doc_id, side, key).
+    Left = side 'pkp', right = side 'oa'; a pair is emitted once per shared
+    key, then deduped.
+    """
+    sizes = block_size_metrics(keys)  # ONE size-measuring pass
+    dropped, hot = _exceptional_lists(sizes, hot_pair_threshold, max_block_size)
+    k = _apply_flags(keys, dropped, hot)
+    return _dedup_pairs(
+        _pair_join(_side(k, "pkp", "left_id"), _side(k, "oa", "right_id"), n_salts)
+    )
+
+
+def delta_candidate_pairs(
+    old_keys: DataFrame,
+    new_keys: DataFrame,
+    n_salts: int = DEFAULT_N_SALTS,
+    hot_pair_threshold: int = 1_000_000,
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """Pairs with at least one NEW endpoint: new-left x all-right plus
+    old-left x new-right. Caps/salting are decided over the UNION of keys
+    (same drop/hot semantics as a full rebuild), but the old x old join —
+    the quadratic bulk at 10^12 docs — is never re-executed. Equivalence:
+    ``candidate_pairs(old + new) == candidate_pairs(old) + delta`` (tested
+    pair-for-pair, including n_shared_keys provenance).
+    """
+    all_keys = old_keys.unionByName(new_keys)
+    sizes = block_size_metrics(all_keys)
+    # caps measured ONCE over the union; the same literal lists flag all frames
+    dropped, hot = _exceptional_lists(sizes, hot_pair_threshold, max_block_size)
+    flagged_all = _apply_flags(all_keys, dropped, hot)
+    flagged_new = _apply_flags(new_keys, dropped, hot)
+    flagged_old = _apply_flags(old_keys, dropped, hot)
+    new_left = _side(flagged_new, "pkp", "left_id")
+    old_left = _side(flagged_old, "pkp", "left_id")
+    all_right = _side(flagged_all, "oa", "right_id")
+    new_right = _side(flagged_new, "oa", "right_id")
+    j1 = _pair_join(new_left, all_right, n_salts)  # new x (old + new)
+    j2 = _pair_join(old_left, new_right, n_salts)  # old x new only
+    return _dedup_pairs(j1.unionByName(j2))

@@ -157,6 +157,11 @@ class Catalog:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp_marker, marker)
+        # invalidate Spark's file-listing cache AND any cached plan reading
+        # this path: a table REwrite keeps the same data dir, and the
+        # CacheManager matches persisted plans by canonicalized path — a
+        # stale entry would silently serve the pre-rewrite rows
+        df.sparkSession.catalog.refreshByPath(data)
 
     def read_committed(self, spark: SparkSession, name: str) -> DataFrame | None:
         if not self.is_committed(name, spark):

@@ -1,0 +1,108 @@
+"""Incremental reconcile == full rebuild, pair-for-pair (the 10^12-doc
+daily-batch path: old x old never re-executed)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.operators import (
+    blocking,
+    extract,
+    pairs,
+)
+from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.plans.incremental import (
+    incremental_reconcile,
+)
+from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.plans.reconcile import (
+    reconcile,
+)
+from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.sources.catalog import (
+    Catalog,
+)
+
+
+def _split_docs(docs):
+    # deterministic 80/20 split on a content hash
+    h = F.pmod(F.xxhash64("doc_id"), F.lit(5))
+    return docs.where(h != 0), docs.where(h == 0)
+
+
+def test_delta_candidate_pairs_equals_full_rebuild(corpus_dfs):
+    docs = corpus_dfs["documents"]
+    old_docs, new_docs = _split_docs(docs)
+    old_keys = blocking.blocking_keys(extract.extract_records(old_docs))
+    new_keys = blocking.blocking_keys(extract.extract_records(new_docs))
+    all_keys = blocking.blocking_keys(extract.extract_records(docs))
+
+    full = pairs.candidate_pairs(all_keys, max_block_size=500)
+    old_only = pairs.candidate_pairs(old_keys, max_block_size=500)
+    delta = pairs.delta_candidate_pairs(old_keys, new_keys, max_block_size=500)
+
+    key = lambda r: (r["left_id"], r["right_id"], r["blocking_key"], r["n_shared_keys"])
+    got = sorted(map(key, old_only.collect())) + sorted(map(key, delta.collect()))
+    want = sorted(map(key, full.collect()))
+    assert sorted(got) == want
+    # delta really is a delta: no old x old pair re-emitted
+    old_ids = {r["doc_id"] for r in old_keys.select("doc_id").distinct().collect()}
+    for r in delta.collect():
+        assert r["left_id"] not in old_ids or r["right_id"] not in old_ids
+
+
+@pytest.fixture()
+def committed_full_run(spark, corpus_dfs, tmp_path):
+    cat = Catalog(str(tmp_path / "inc"))
+    old_docs, new_docs = _split_docs(corpus_dfs["documents"])
+    res = reconcile(old_docs, max_block_size=500)
+    cat.write_committed(res.records, "records")
+    cat.write_committed(res.keys, "blocking_keys")
+    cat.write_committed(res.candidate_pairs, "candidate_pairs")
+    cat.write_committed(res.scored, "scored")
+    cat.write_committed(res.clusters, "clusters")
+    return cat, old_docs, new_docs
+
+
+def test_incremental_equals_full(spark, corpus_dfs, committed_full_run):
+    cat, old_docs, new_docs = committed_full_run
+    incremental_reconcile(cat, spark, new_docs, max_block_size=500)
+
+    full = reconcile(corpus_dfs["documents"], max_block_size=500)
+
+    inc_scored = cat.read_committed(spark, "scored")
+    k = lambda r: (r["left_id"], r["right_id"], r["match_prob"], r["is_match_pred"])
+    assert sorted(map(k, inc_scored.collect())) == sorted(
+        map(k, full.scored.collect())
+    )
+
+    inc_clusters = cat.read_committed(spark, "clusters")
+    got = {(r["node"], r["cluster_id"]) for r in inc_clusters.collect()}
+    want = {(r["node"], r["cluster_id"]) for r in full.clusters.collect()}
+    # seeded CC must merge old and new components to the same fixpoint;
+    # nodes only present in the seed star-forest are also retained
+    assert got >= want
+    # and no node maps to a different cluster than the full rebuild
+    got_map = dict(got)
+    for node, cid in want:
+        assert got_map[node] == cid
+
+
+def test_incremental_rerun_is_noop(spark, committed_full_run):
+    cat, old_docs, new_docs = committed_full_run
+    incremental_reconcile(cat, spark, new_docs, max_block_size=500)
+    scored_1 = sorted(
+        (r["left_id"], r["right_id"])
+        for r in cat.read_committed(spark, "scored").collect()
+    )
+    # feeding the same batch again adds nothing (anti-join on committed records)
+    incremental_reconcile(cat, spark, new_docs, max_block_size=500)
+    scored_2 = sorted(
+        (r["left_id"], r["right_id"])
+        for r in cat.read_committed(spark, "scored").collect()
+    )
+    assert scored_1 == scored_2
+
+
+def test_incremental_requires_prior_run(spark, corpus_dfs, tmp_path):
+    cat = Catalog(str(tmp_path / "empty"))
+    with pytest.raises(ValueError, match="committed full run"):
+        incremental_reconcile(cat, spark, corpus_dfs["documents"])
