@@ -178,6 +178,27 @@ class Catalog:
         if os.path.exists(self._dir(name)):
             shutil.rmtree(self._dir(name))
 
+    def compact(
+        self, spark: SparkSession, name: str, target_partitions: int,
+        bucket_by: tuple[list[str], int] | None = None,
+    ) -> None:
+        """Rewrite a committed table into ``target_partitions`` files.
+
+        The small-files problem at 100 TB: a stage committed from thousands
+        of tasks leaves thousands of tiny parquet files, and every
+        downstream scan pays per-file open/footer cost plus scheduler
+        pressure. Compaction is a coalesce (no shuffle) + the same atomic
+        republish protocol; ``bucket_by`` optionally re-lays the table out
+        bucketed while it is being rewritten anyway (table/iceberg
+        backends). The read is localCheckpoint-ed first so the rewrite
+        never scans the path it is replacing.
+        """
+        df = self.read_committed(spark, name)
+        if df is None:
+            raise ValueError(f"table {name!r} is not committed")
+        pinned = df.coalesce(target_partitions).localCheckpoint()
+        self.write_committed(pinned, name, bucket_by=bucket_by)
+
     def resume_filter(
         self, spark: SparkSession, inputs: DataFrame, name: str, key: str | list[str]
     ) -> DataFrame:

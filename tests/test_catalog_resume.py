@@ -127,3 +127,38 @@ def test_iceberg_backend_requires_runtime(spark, tmp_path):
     else:  # pragma: no cover - only on clusters with the jar
         got = cat.read_committed(spark, "it")
         assert got is not None and got.count() == 3
+
+
+def test_compact_reduces_files_preserves_rows(spark, tmp_path):
+    """Small-files compaction: same rows, same committed contract, fewer
+    part files; works on both marker and table backends."""
+    import glob
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.sources.catalog import (
+        Catalog,
+    )
+
+    for backend in ("marker", "table"):
+        cat = Catalog(str(tmp_path / f"cmp_{backend}"), backend=backend)
+        df = spark.range(0, 1000).repartition(16).selectExpr(
+            "cast(id as string) as doc_id", "id % 7 as v"
+        )
+        cat.write_committed(df, "t")
+        before = sorted(
+            (r["doc_id"], r["v"]) for r in cat.read_committed(spark, "t").collect()
+        )
+        data_glob = (
+            str(tmp_path / f"cmp_{backend}" / "t" / "data" / "part-*")
+            if backend == "marker"
+            else str(tmp_path / f"cmp_{backend}" / "t" / "table_data" / "part-*")
+        )
+        n_before = len(glob.glob(data_glob))
+        assert n_before >= 8
+        cat.compact(spark, "t", 2)
+        assert cat.is_committed("t", spark)
+        after = sorted(
+            (r["doc_id"], r["v"]) for r in cat.read_committed(spark, "t").collect()
+        )
+        assert before == after
+        assert len(glob.glob(data_glob)) <= 2
+        cat.drop("t", spark)
