@@ -52,6 +52,16 @@ def main(argv=None):
         action="store_true",
         help="with --synth: calibrate on the generated labeled pairs",
     )
+    ap.add_argument(
+        "--catalog-backend", default="marker",
+        choices=["marker", "table", "iceberg"],
+    )
+    ap.add_argument(
+        "--bucket-tables", type=int, default=0, metavar="N",
+        help="commit records/candidate_pairs hash-bucketed (N buckets) on "
+        "their scoring-join keys so downstream keyed joins run shuffle-free; "
+        "needs --catalog-backend table or iceberg",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -63,8 +73,14 @@ def main(argv=None):
     # on a cluster the session comes from spark-submit; local fallback for smoke
     spark = SparkSession.builder.appName("reconcile_pkp_openalex").getOrCreate()
     run_id = args.run_id or uuid.uuid4().hex[:12]
-    cat = Catalog(args.output)
+    cat = Catalog(args.output, backend=args.catalog_backend)
     force = not args.resume
+    if args.bucket_tables and args.catalog_backend == "marker":
+        ap.error("--bucket-tables needs --catalog-backend table or iceberg")
+    # bucket the two sides of the scoring join on their join keys: the
+    # heaviest recurring shuffle becomes a one-time write-side cost
+    rec_bucket = (["doc_id"], args.bucket_tables) if args.bucket_tables else None
+    cand_bucket = (["left_id"], args.bucket_tables) if args.bucket_tables else None
 
     labeled = None
     if args.synth:
@@ -82,7 +98,10 @@ def main(argv=None):
 
     lineage_rows = []
 
-    records = run_stage(cat, spark, "records", lambda: extract.extract_records(docs), force=force)
+    records = run_stage(
+        cat, spark, "records", lambda: extract.extract_records(docs),
+        force=force, bucket_by=rec_bucket,
+    )
     lineage_rows.append(lineage.partition_metrics(records, run_id, "extract"))
 
     keys = run_stage(cat, spark, "blocking_keys", lambda: blocking.blocking_keys(records), force=force)
@@ -95,7 +114,7 @@ def main(argv=None):
             hot_pair_threshold=args.hot_pair_threshold,
             max_block_size=args.max_block_size,
         ),
-        force=force,
+        force=force, bucket_by=cand_bucket,
     )
     lineage_rows.append(lineage.partition_metrics(cand, run_id, "pairs"))
 

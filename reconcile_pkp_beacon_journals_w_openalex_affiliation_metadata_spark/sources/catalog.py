@@ -218,6 +218,7 @@ def run_stage(
     build: "callable",
     partition_by: list[str] | None = None,
     force: bool = False,
+    bucket_by: tuple[list[str], int] | None = None,
 ) -> DataFrame:
     """Checkpointed stage runner: skip when committed, else build + commit.
     ``build()`` -> DataFrame. Restart-safe: a rerun after a crash recomputes
@@ -227,5 +228,5 @@ def run_stage(
         if cached is not None:
             return cached
     df = build()
-    catalog.write_committed(df, name, partition_by=partition_by)
+    catalog.write_committed(df, name, partition_by=partition_by, bucket_by=bucket_by)
     return catalog.read_committed(spark, name)
