@@ -106,3 +106,39 @@ def test_incremental_requires_prior_run(spark, corpus_dfs, tmp_path):
     cat = Catalog(str(tmp_path / "empty"))
     with pytest.raises(ValueError, match="committed full run"):
         incremental_reconcile(cat, spark, corpus_dfs["documents"])
+
+
+def test_streaming_incremental_reconcile(spark, corpus_dfs, committed_full_run, tmp_path):
+    """File drops stream-fold into the committed state micro-batch by
+    micro-batch; the final state equals a full rebuild, and a restart with
+    the same checkpoint drains nothing."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.streaming.incremental import (
+        streaming_incremental_reconcile,
+    )
+
+    cat, old_docs, new_docs = committed_full_run
+    in_dir = str(tmp_path / "drops")
+    ckpt = str(tmp_path / "ckpt")
+    # two file drops (one per micro-batch with maxFilesPerTrigger=1)
+    h2 = F.pmod(F.xxhash64("doc_id"), F.lit(2))
+    new_docs.where(h2 == 0).coalesce(1).write.parquet(in_dir)
+    new_docs.where(h2 == 1).coalesce(1).write.mode("append").parquet(in_dir)
+
+    results = streaming_incremental_reconcile(
+        cat, spark, in_dir, ckpt, max_files_per_trigger=1, max_block_size=500
+    )
+    assert len(results) >= 1
+    assert sum(r["n_new"] for r in results) == new_docs.count()
+
+    full = reconcile(corpus_dfs["documents"], max_block_size=500)
+    inc_scored = cat.read_committed(spark, "scored")
+    k = lambda r: (r["left_id"], r["right_id"], r["is_match_pred"])
+    assert sorted(map(k, inc_scored.collect())) == sorted(
+        map(k, full.scored.collect())
+    )
+
+    # restart: checkpoint says everything is consumed -> no new batches
+    results2 = streaming_incremental_reconcile(
+        cat, spark, in_dir, ckpt, max_files_per_trigger=1, max_block_size=500
+    )
+    assert sum(r["n_new"] for r in results2) == 0
