@@ -114,7 +114,6 @@ def fit_calibration(
     """
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import VectorAssembler
-    from pyspark.ml.functions import vector_to_array
 
     from . import scoring
 
@@ -144,8 +143,17 @@ def fit_calibration(
     for (name, _, _), coef in zip(FEATURES, model.coefficients):
         weights[name] = float(coef)
 
-    prob_labeled = model.transform(assembled).select(
-        vector_to_array(F.col("probability"))[1].alias("prob"), "label"
+    # probabilities for the threshold sweep via OUR native-column logistic
+    # over the fitted weights, not model.transform: (a) the threshold is
+    # then chosen on the exact arithmetic the serving path uses, and (b)
+    # the ml transform's codegen closure is not serializable once any
+    # Observation has been registered in the session (it drags the
+    # SparkSession's ObservationManager into the RDD closure)
+    z = F.lit(weights["bias"])
+    for name, _, _ in FEATURES:
+        z = z + F.lit(weights[name]) * F.col(f"f_{name}")
+    prob_labeled = train.select(
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("prob"), "label"
     )
     threshold, train_f1 = best_threshold(prob_labeled, grid_decimals=grid_decimals)
     return Calibration(
