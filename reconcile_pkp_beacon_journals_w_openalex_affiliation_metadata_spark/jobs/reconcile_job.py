@@ -130,6 +130,10 @@ def main(argv=None):
             f"threshold={cal.threshold:.4f} weights={ {k: round(v, 4) for k, v in cal.weights.items()} }"
         )
 
+    # a fresh calibration invalidates any committed scored/clusters tables:
+    # force those stages even under --resume, else the fitted weights would
+    # be silently discarded in favor of the stale decisions
+    force_scoring = force or cal is not None
     scored = run_stage(
         cat, spark, "scored",
         lambda: scoring.score_pairs(
@@ -137,7 +141,7 @@ def main(argv=None):
             weights=cal.weights if cal else None,
             threshold=cal.threshold if cal else None,
         ),
-        force=force,
+        force=force_scoring,
     )
     lineage_rows.append(lineage.partition_metrics(scored, run_id, "scoring"))
     lineage_rows.append(lineage.match_rate_metrics(scored, run_id))
@@ -145,7 +149,7 @@ def main(argv=None):
     clusters = run_stage(
         cat, spark, "clusters",
         lambda: cluster.connected_components(scoring.matched_edges(scored)),
-        force=force,
+        force=force_scoring,
     )
     lineage_rows.append(lineage.partition_metrics(clusters, run_id, "clustering"))
 

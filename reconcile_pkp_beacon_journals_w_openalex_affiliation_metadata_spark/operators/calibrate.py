@@ -95,7 +95,11 @@ def best_threshold(
         )
     )
     best = curve.orderBy(F.col("f1").desc(), F.col("p").desc()).first()
-    return float(best["p"]), float(best["f1"])
+    # return the bin's LOWER EDGE, not its center: the sweep counted every
+    # row that ROUNDS to p (i.e. prob >= p - 0.5*10^-grid) as positive, so
+    # only the lower-edge cutoff makes serving (`prob >= threshold`) decide
+    # exactly the rows the reported F1 was computed from
+    return float(best["p"]) - 0.5 * 10.0 ** (-grid_decimals), float(best["f1"])
 
 
 def fit_calibration(
@@ -121,8 +125,12 @@ def fit_calibration(
         labeled.select("left_id", "right_id"), records
     )
     feats = feature_frame(scored)
-    train = labeled.join(feats, ["left_id", "right_id"], "inner").withColumn(
-        "label", F.col("is_match").cast("double")
+    # persisted: the fit's LBFGS iterations, the threshold sweep, and the
+    # n_train count would otherwise each re-run the similarity-UDF joins
+    train = (
+        labeled.join(feats, ["left_id", "right_id"], "inner")
+        .withColumn("label", F.col("is_match").cast("double"))
+        .persist()
     )
     feature_cols = [f"f_{name}" for name, _, _ in FEATURES]
     assembled = VectorAssembler(inputCols=feature_cols, outputCol="fv").transform(
@@ -156,9 +164,11 @@ def fit_calibration(
         (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("prob"), "label"
     )
     threshold, train_f1 = best_threshold(prob_labeled, grid_decimals=grid_decimals)
+    n_train = train.count()
+    train.unpersist()
     return Calibration(
         weights=weights,
         threshold=threshold,
         train_f1=train_f1,
-        n_train=train.count(),
+        n_train=n_train,
     )

@@ -89,12 +89,17 @@ def _side(k: DataFrame, side: str, alias: str) -> DataFrame:
     )
 
 
-def _pair_join(left: DataFrame, right: DataFrame, n_salts: int) -> DataFrame:
+def _pair_join(
+    left: DataFrame, right: DataFrame, n_salts: int, has_hot: bool
+) -> DataFrame:
     """(left_id, right_id, key) rows: plain equi-join for cold keys, salted
-    left + replicated right for hot keys."""
+    left + replicated right for hot keys. The hot branch (two extra scans +
+    an exploded join) is only planned when hot keys actually exist."""
     cold = left.where(~F.col("is_hot")).drop("is_hot").join(
         right.where(~F.col("is_hot")).drop("is_hot"), "key", "inner"
     ).select("left_id", "right_id", "key")
+    if not has_hot:
+        return cold
     salts = F.array(*[F.lit(i) for i in range(n_salts)])
     hot_left = left.where(F.col("is_hot")).withColumn(
         "salt", F.pmod(F.xxhash64("left_id"), F.lit(n_salts)).cast("int")
@@ -129,7 +134,10 @@ def candidate_pairs(
     dropped, hot = _exceptional_lists(sizes, hot_pair_threshold, max_block_size)
     k = _apply_flags(keys, dropped, hot)
     return _dedup_pairs(
-        _pair_join(_side(k, "pkp", "left_id"), _side(k, "oa", "right_id"), n_salts)
+        _pair_join(
+            _side(k, "pkp", "left_id"), _side(k, "oa", "right_id"),
+            n_salts, bool(hot),
+        )
     )
 
 
@@ -146,6 +154,15 @@ def delta_candidate_pairs(
     the quadratic bulk at 10^12 docs — is never re-executed. Equivalence:
     ``candidate_pairs(old + new) == candidate_pairs(old) + delta`` (tested
     pair-for-pair, including n_shared_keys provenance).
+
+    Cap-boundary caveat: when the NEW batch pushes a block past
+    ``max_block_size``, the delta correctly emits nothing for that key (it
+    is oversized in the union), but previously committed old x old pairs
+    blocked on it are NOT retracted by the incremental merge — a full
+    rebuild would drop them. This is deliberate (retraction would mean
+    re-deriving provenance for the whole old pair set, the exact cost
+    incrementality avoids; past pairs also remain genuinely valid
+    candidates); run a periodic full rebuild if cap-retroactivity matters.
     """
     all_keys = old_keys.unionByName(new_keys)
     sizes = block_size_metrics(all_keys)
@@ -158,6 +175,6 @@ def delta_candidate_pairs(
     old_left = _side(flagged_old, "pkp", "left_id")
     all_right = _side(flagged_all, "oa", "right_id")
     new_right = _side(flagged_new, "oa", "right_id")
-    j1 = _pair_join(new_left, all_right, n_salts)  # new x (old + new)
-    j2 = _pair_join(old_left, new_right, n_salts)  # old x new only
+    j1 = _pair_join(new_left, all_right, n_salts, bool(hot))  # new x (old + new)
+    j2 = _pair_join(old_left, new_right, n_salts, bool(hot))  # old x new only
     return _dedup_pairs(j1.unionByName(j2))

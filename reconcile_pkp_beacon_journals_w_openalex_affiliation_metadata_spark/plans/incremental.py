@@ -56,6 +56,15 @@ def incremental_reconcile(
     ``clusters`` tables (a prior full run); publishes updated versions of
     all four plus ``candidate_pairs``.
     """
+    if cat.backend != "marker":
+        # saveAsTable(overwrite) cannot rewrite a table its own input plan
+        # reads; the marker backend's staging-dir protocol can. The
+        # production answer for catalog-managed tables is Iceberg appends /
+        # snapshot commits, not union-rewrites.
+        raise NotImplementedError(
+            "incremental_reconcile supports the 'marker' catalog backend; "
+            f"got {cat.backend!r} (table/iceberg need append-style commits)"
+        )
     old_records = cat.read_committed(spark, "records")
     old_keys = cat.read_committed(spark, "blocking_keys")
     old_scored = cat.read_committed(spark, "scored")
@@ -79,9 +88,16 @@ def incremental_reconcile(
     )
     new_records = extract.extract_records(fresh).localCheckpoint()
     new_keys = blocking.blocking_keys(new_records).localCheckpoint()
+    new_ids = new_records.select("doc_id").distinct()
+
+    # crash-replay hygiene: "records" is published LAST (see below), so a
+    # replay can observe PARTIALLY republished tables — scrub any rows the
+    # earlier attempt already merged for this batch's docs before merging
+    # again, making every merge idempotent
+    old_keys_eff = old_keys.join(new_ids, "doc_id", "left_anti")
 
     delta_pairs = pairs.delta_candidate_pairs(
-        old_keys, new_keys,
+        old_keys_eff, new_keys,
         n_salts=n_salts,
         hot_pair_threshold=hot_pair_threshold,
         max_block_size=max_block_size,
@@ -91,7 +107,10 @@ def incremental_reconcile(
     delta_scored = scoring.score_pairs(
         delta_pairs, all_records, weights=weights, threshold=threshold
     ).localCheckpoint()
-    merged_scored = old_scored.unionByName(delta_scored)
+    pair_ids = delta_pairs.select("left_id", "right_id")
+    merged_scored = old_scored.join(
+        pair_ids, ["left_id", "right_id"], "left_anti"
+    ).unionByName(delta_scored)
 
     # seeded CC: previous assignment as star edges + the delta's matches
     seed_edges = old_clusters.select(
@@ -104,16 +123,25 @@ def incremental_reconcile(
     n_delta = delta_pairs.count()
     n_matches = delta_scored.where(F.col("is_match_pred")).count()
 
-    # publish (atomic per table; a crash mid-sequence leaves the previous
-    # committed versions readable for every table not yet republished;
-    # write_committed refreshes Spark's path/plan caches so the next
-    # incremental run cannot be served a pre-rewrite cache entry)
-    cat.write_committed(all_records, "records")
-    cat.write_committed(old_keys.unionByName(new_keys), "blocking_keys")
+    # publish (atomic per table; write_committed refreshes Spark's
+    # path/plan caches so the next run cannot be served a pre-rewrite
+    # cache entry). ORDER MATTERS: "records" goes LAST because it is the
+    # anti-join source that decides whether a replayed batch is "new" — a
+    # crash anywhere before the records commit leaves the batch looking
+    # unprocessed, and the replay redoes every merge idempotently (the
+    # anti-join scrubs above dedup any partially merged rows); committing
+    # records first would instead make the replay a silent no-op with the
+    # downstream tables permanently missing the batch.
+    cat.write_committed(old_keys_eff.unionByName(new_keys), "blocking_keys")
     if old_pairs is not None:
-        cat.write_committed(old_pairs.unionByName(delta_pairs), "candidate_pairs")
+        cat.write_committed(
+            old_pairs.join(pair_ids, ["left_id", "right_id"], "left_anti")
+            .unionByName(delta_pairs),
+            "candidate_pairs",
+        )
     cat.write_committed(merged_scored, "scored")
     cat.write_committed(clusters, "clusters")
+    cat.write_committed(all_records, "records")
     return IncrementalResult(
         n_new_records=n_new,
         n_delta_pairs=n_delta,

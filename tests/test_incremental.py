@@ -142,3 +142,48 @@ def test_streaming_incremental_reconcile(spark, corpus_dfs, committed_full_run, 
         cat, spark, in_dir, ckpt, max_files_per_trigger=1, max_block_size=500
     )
     assert sum(r["n_new"] for r in results2) == 0
+
+
+class _CrashingCatalog(Catalog):
+    """Raises after N successful write_committed calls (crash injection)."""
+
+    def __init__(self, root, crash_after):
+        super().__init__(root)
+        self._writes = 0
+        self._crash_after = crash_after
+
+    def write_committed(self, df, name, **kw):
+        if self._writes >= self._crash_after:
+            raise RuntimeError("injected crash")
+        self._writes += 1
+        super().write_committed(df, name, **kw)
+
+
+@pytest.mark.parametrize("crash_after", [0, 1, 3])
+def test_incremental_crash_then_replay_recovers(
+    spark, corpus_dfs, committed_full_run, crash_after
+):
+    """A crash at ANY point in the publish sequence must leave the batch
+    replayable: 'records' (the anti-join source) commits last, and every
+    merge is idempotent, so the replay converges to the full-rebuild state
+    with no loss and no duplicates."""
+    cat, old_docs, new_docs = committed_full_run
+    crashing = _CrashingCatalog(cat.root, crash_after)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        incremental_reconcile(crashing, spark, new_docs, max_block_size=500)
+    # replay on a clean catalog handle
+    res = incremental_reconcile(cat, spark, new_docs, max_block_size=500)
+    assert res.n_new_records == new_docs.count()  # batch still looked new
+
+    full = reconcile(corpus_dfs["documents"], max_block_size=500)
+    inc_scored = cat.read_committed(spark, "scored")
+    k = lambda r: (r["left_id"], r["right_id"], r["is_match_pred"])
+    assert sorted(map(k, inc_scored.collect())) == sorted(
+        map(k, full.scored.collect())
+    )
+
+
+def test_incremental_rejects_table_backend(spark, corpus_dfs, tmp_path):
+    cat = Catalog(str(tmp_path / "tbl"), backend="table")
+    with pytest.raises(NotImplementedError, match="marker"):
+        incremental_reconcile(cat, spark, corpus_dfs["documents"])
