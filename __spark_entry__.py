@@ -2205,6 +2205,62 @@ def a11(spark, sf):
     return match_rate_metrics(res.scored, run_id="r").orderBy("metric")
 
 
+def _x10_oracle() -> str:
+    # independent recompute of the INCREMENTAL candidate join: docs split
+    # 80/20 on doc_id % 5, blocking keys + the 500-cap over the UNION, then
+    # only pairs with >= 1 new endpoint (j1 = new-left x all, j2 = old-left
+    # x new-right) — the delta_candidate_pairs contract
+    return f"""
+WITH RECURSIVE
+{_blocking_allkeys_ctes()},
+kept AS (
+  SELECT id, side, key FROM allkeys
+  QUALIFY count(*) OVER (PARTITION BY key) <= 500
+),
+flagged AS (
+  SELECT *, (CAST(regexp_extract(id, '[0-9]+$') AS INT) % 5 = 0) AS is_new
+  FROM kept
+),
+delta AS (
+  SELECT l.id AS left_id, r.id AS right_id, l.key
+  FROM flagged l JOIN flagged r ON l.key = r.key
+  WHERE l.side = 'pkp' AND r.side = 'oa' AND l.is_new
+  UNION ALL
+  SELECT l.id, r.id, l.key
+  FROM flagged l JOIN flagged r ON l.key = r.key
+  WHERE l.side = 'pkp' AND r.side = 'oa' AND NOT l.is_new AND r.is_new
+)
+SELECT left_id, right_id, min(key) AS blocking_key,
+       CAST(count(*) AS BIGINT) AS n_shared_keys
+FROM delta
+GROUP BY left_id, right_id
+ORDER BY left_id, right_id
+"""
+
+
+@_q("x10_delta_candidate_pairs", _x10_oracle())
+def x10(spark, sf):
+    # the incremental path's delta join, value-verified: old x old is never
+    # joined, yet the emitted pairs (incl. n_shared_keys provenance) match
+    # a full recompute restricted to new-endpoint pairs
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.operators import (
+        blocking,
+        extract,
+        pairs,
+    )
+
+    raw = _t(spark, sf, "documents")
+    old_docs = wrap_documents_as_spans(raw.where(F.col("doc_id") % 5 != 0))
+    new_docs = wrap_documents_as_spans(raw.where(F.col("doc_id") % 5 == 0))
+    old_keys = blocking.blocking_keys(extract.extract_records(old_docs))
+    new_keys = blocking.blocking_keys(extract.extract_records(new_docs))
+    delta = pairs.delta_candidate_pairs(old_keys, new_keys, max_block_size=500)
+    return delta.select(
+        "left_id", "right_id", "blocking_key",
+        F.col("n_shared_keys").cast("long").alias("n_shared_keys"),
+    ).orderBy("left_id", "right_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_Q)
 
