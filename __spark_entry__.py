@@ -2261,6 +2261,35 @@ def x10(spark, sf):
     ).orderBy("left_id", "right_id")
 
 
+@_q(
+    "x11_delta_minhash_pairs",
+    # delta == the full LSH pass restricted to pairs with >= 1 new endpoint
+    # (doc_id % 4 == 0); the oracle reuses the exact x2/t8 CTE chain
+    f"""
+WITH {_lsh_candidate_ctes(10_000)}
+SELECT left_id, right_id FROM cand
+WHERE left_id % 4 = 0 OR right_id % 4 = 0
+ORDER BY left_id, right_id
+""",
+)
+def x11(spark, sf):
+    # incremental near-dup: only the NEW batch is banded; join = new x all
+    # (dedup.delta_minhash_pairs) — the crawl-batch dedup shape at 100 TB
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.operators.dedup import (
+        delta_minhash_pairs,
+        minhash_band_keys,
+    )
+
+    d = _t(spark, sf, "documents")
+    old_docs = d.where(F.col("doc_id") % 4 != 0)
+    new_docs = d.where(F.col("doc_id") % 4 == 0)
+    old_keys = minhash_band_keys(old_docs, id_col="doc_id", text_col="text")
+    return delta_minhash_pairs(
+        old_keys, new_docs, id_col="doc_id", text_col="text",
+        num_perm=64, bands=16, shingle_k=3, max_band_size=10_000,
+    ).orderBy("left_id", "right_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_Q)
 

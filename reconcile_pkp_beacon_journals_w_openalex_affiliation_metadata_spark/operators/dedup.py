@@ -35,6 +35,23 @@ def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+def minhash_band_keys(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, band) LSH key rows — map-only; commit this once per corpus and
+    the incremental path (``delta_minhash_pairs``) never re-bands old docs."""
+    bands_udf = make_minhash_bands_udf(num_perm=num_perm, bands=bands, shingle_k=shingle_k)
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(bands_udf(norm)).alias("band")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -49,15 +66,13 @@ def minhash_lsh_pairs(
     Oversized band buckets (stop-phrase shingles) are dropped with the same
     cap discipline as blocking.pairs — a degenerate bucket adds quadratic
     pairs and no signal."""
-    bands_udf = make_minhash_bands_udf(num_perm=num_perm, bands=bands, shingle_k=shingle_k)
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     # persist the exploded keys: three consumers read them (the band-size
     # agg and BOTH sides of the self-join), and without a materialization
     # each re-runs the banding UDF — the r2-measured 2x wall regression.
     # MEMORY_AND_DISK so a 100 TB corpus spills instead of OOMing; the cache
     # entry is unpersisted by the ContextCleaner when the plan is GC'd.
-    keys = df.select(
-        F.col(id_col).alias("id"), F.explode(bands_udf(norm)).alias("band")
+    keys = minhash_band_keys(
+        df, id_col, text_col, num_perm=num_perm, bands=bands, shingle_k=shingle_k
     ).persist()
     # cap via a partial-aggregated size count, broadcasting ONLY the
     # oversized bands (a handful even at corpus scale) into an anti-join.
@@ -73,6 +88,56 @@ def minhash_lsh_pairs(
     return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("left_id"), F.col("b.id").alias("right_id"))
+        .distinct()
+    )
+
+
+def delta_minhash_pairs(
+    old_keys: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    max_band_size: int = 10_000,
+) -> DataFrame:
+    """Near-dup pairs with at least one endpoint in the NEW batch.
+
+    The training-data ingestion shape at 100 TB: dedup each crawl batch
+    against the committed corpus without re-banding or re-self-joining the
+    corpus. ``old_keys`` is the committed ``minhash_band_keys`` output; only
+    the new batch runs the banding UDF, and the join is new x (old + new)
+    — never old x old. The band cap is measured over the UNION (same drop
+    semantics as a full pass; a band newly pushed over the cap stops
+    producing pairs, but previously emitted old x old pairs are retained —
+    the same deliberate cap-boundary caveat as pairs.delta_candidate_pairs).
+
+    Equivalence (tested): minhash_lsh_pairs(old + new) ==
+    minhash_lsh_pairs(old) ∪ delta_minhash_pairs(old_keys, new), away from
+    cap boundaries.
+    """
+    new_keys = minhash_band_keys(
+        new_docs, id_col, text_col, num_perm=num_perm, bands=bands,
+        shingle_k=shingle_k,
+    ).persist()
+    all_keys = old_keys.unionByName(new_keys)
+    oversized = (
+        all_keys.groupBy("band").count()
+        .where(F.col("count") > max_band_size)
+        .select("band")
+    )
+    kept_new = new_keys.join(F.broadcast(oversized), "band", "left_anti")
+    kept_all = all_keys.join(F.broadcast(oversized), "band", "left_anti")
+    n, t = kept_new.alias("n"), kept_all.alias("t")
+    # new x all, both orientations, normalized to (min, max); new x new
+    # appears from both sides and collapses in the distinct
+    return (
+        n.join(t, (F.col("n.band") == F.col("t.band")) & (F.col("n.id") != F.col("t.id")))
+        .select(
+            F.least(F.col("n.id"), F.col("t.id")).alias("left_id"),
+            F.greatest(F.col("n.id"), F.col("t.id")).alias("right_id"),
+        )
         .distinct()
     )
 

@@ -184,3 +184,37 @@ def test_tokenless_docs_emit_no_bands(spark):
         for r in dedup.minhash_lsh_pairs(df).collect()
     }
     assert pairs == {("ok1", "ok2")}  # no whitespace-doc cross-pairs
+
+
+def test_delta_minhash_pairs_equals_full_pass(spark, corpus_dfs):
+    """Incremental near-dup: banding only the new batch and joining
+    new x (old + new) reproduces exactly the full pass's new-endpoint
+    pairs; old x old is never recomputed."""
+    from pyspark.sql import functions as F
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.operators import (
+        dedup,
+    )
+
+    docs = corpus_dfs["documents"].select(
+        "doc_id", F.concat_ws(" ", F.transform("spans", lambda s: s["text"])).alias("text")
+    )
+    h = F.pmod(F.xxhash64("doc_id"), F.lit(4))
+    old_docs, new_docs = docs.where(h != 0), docs.where(h == 0)
+
+    full = {(r["left_id"], r["right_id"]) for r in dedup.minhash_lsh_pairs(docs).collect()}
+    old_only = {
+        (r["left_id"], r["right_id"])
+        for r in dedup.minhash_lsh_pairs(old_docs).collect()
+    }
+    old_keys = dedup.minhash_band_keys(old_docs)
+    delta = {
+        (r["left_id"], r["right_id"])
+        for r in dedup.delta_minhash_pairs(old_keys, new_docs).collect()
+    }
+    assert old_only | delta == full
+    # delta contains no old x old pair
+    old_ids = {r["doc_id"] for r in old_docs.select("doc_id").collect()}
+    assert all(l not in old_ids or r not in old_ids for l, r in delta)
+    # and the two contributions are disjoint
+    assert not (old_only & delta)
