@@ -106,6 +106,29 @@ def build_ivf_index(
     return assigned, centroids
 
 
+def ivf_insert(
+    assigned: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign_decimals: int = 9,
+) -> DataFrame:
+    """Fold new vectors into an existing IVF index: map-only assignment of
+    the NEW batch against the FIXED centroids, unioned with the committed
+    assignments — the index-maintenance path (no rebuild, no shuffle over
+    the old corpus). Identical to rebuilding only while the coarse
+    quantizer stays representative; rebuild when the corpus distribution
+    drifts (cell-size skew in ``assigned.groupBy('cell')`` is the canary).
+    """
+    pick1 = _nearest_cells_udf(centroids, 1, decimals=assign_decimals)
+    fresh = new_vectors.join(
+        assigned.select(id_col).distinct(), id_col, "left_anti"
+    )
+    newly = fresh.withColumn("cell", pick1(F.col(vec_col))[0])
+    return assigned.unionByName(newly.select(*assigned.columns))
+
+
 def ivf_topk(
     assigned: DataFrame, centroids: list[tuple[int, list[float]]],
     queries: DataFrame, k: int = 10, n_probe: int = 4,

@@ -218,3 +218,47 @@ def test_delta_minhash_pairs_equals_full_pass(spark, corpus_dfs):
     assert all(l not in old_ids or r not in old_ids for l, r in delta)
     # and the two contributions are disjoint
     assert not (old_only & delta)
+
+
+def test_ivf_insert_matches_rebuild_with_same_centroids(spark, corpus_dfs):
+    """Incremental index maintenance: assigning a new vector batch against
+    the FIXED centroids + union equals re-assigning the full corpus with
+    those centroids; queries return identical top-k."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.operators.similarity_search import (
+        _nearest_cells_udf,
+        build_ivf_index,
+        ivf_insert,
+        ivf_topk,
+    )
+
+    rng = random.Random(13)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(400)]
+    vecs = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    old = vecs.where(F.col("vec_id") % 4 != 0)
+    new = vecs.where(F.col("vec_id") % 4 == 0)
+
+    assigned_old, cents = build_ivf_index(old, n_cells=8)
+    merged = ivf_insert(assigned_old, cents, new)
+
+    # rebuild = assign the FULL corpus against the same centroids
+    pick1 = _nearest_cells_udf(cents, 1)
+    rebuilt = vecs.withColumn("cell", pick1(F.col("embedding"))[0])
+    got = {(r["vec_id"], r["cell"]) for r in merged.collect()}
+    want = {(r["vec_id"], r["cell"]) for r in rebuilt.collect()}
+    assert got == want
+
+    qs = vecs.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    topk_m = ivf_topk(merged, cents, qs, k=5, n_probe=3)
+    topk_r = ivf_topk(rebuilt, cents, qs, k=5, n_probe=3)
+    key = lambda r: (r["q_id"], r["vec_id"], r["cos_sim"])
+    assert sorted(map(key, topk_m.collect())) == sorted(map(key, topk_r.collect()))
+
+    # idempotence: re-inserting the same batch adds nothing
+    again = ivf_insert(merged, cents, new)
+    assert again.count() == merged.count()
