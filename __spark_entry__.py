@@ -2273,8 +2273,11 @@ ORDER BY left_id, right_id
 """,
 )
 def x11(spark, sf):
-    # incremental near-dup: only the NEW batch is banded; join = new x all
-    # (dedup.delta_minhash_pairs) — the crawl-batch dedup shape at 100 TB
+    # incremental near-dup: join = new x all, never old x old
+    # (dedup.delta_minhash_pairs) — the crawl-batch dedup shape at 100 TB.
+    # (Here the old bands are built inline for the oracle comparison; in
+    # production they come from a committed minhash_band_keys table, so
+    # only the new batch pays the banding UDF.)
     from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.operators.dedup import (
         delta_minhash_pairs,
         minhash_band_keys,

@@ -121,7 +121,10 @@ def delta_minhash_pairs(
         new_docs, id_col, text_col, num_perm=num_perm, bands=bands,
         shingle_k=shingle_k,
     ).persist()
-    all_keys = old_keys.unionByName(new_keys)
+    # persisted: two consumers (the oversized agg and kept_all) would each
+    # re-execute old_keys' lineage — which may be a live banding plan, not
+    # a committed table (the multi-consumer lesson from minhash_lsh_pairs)
+    all_keys = old_keys.unionByName(new_keys).persist()
     oversized = (
         all_keys.groupBy("band").count()
         .where(F.col("count") > max_band_size)

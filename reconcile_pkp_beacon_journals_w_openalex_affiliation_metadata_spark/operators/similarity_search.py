@@ -113,18 +113,27 @@ def ivf_insert(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assign_decimals: int = 9,
+    assume_new: bool = False,
 ) -> DataFrame:
-    """Fold new vectors into an existing IVF index: map-only assignment of
-    the NEW batch against the FIXED centroids, unioned with the committed
-    assignments — the index-maintenance path (no rebuild, no shuffle over
-    the old corpus). Identical to rebuilding only while the coarse
-    quantizer stays representative; rebuild when the corpus distribution
-    drifts (cell-size skew in ``assigned.groupBy('cell')`` is the canary).
+    """Fold new vectors into an existing IVF index: the NEW batch is
+    assigned against the FIXED centroids (map-only) and unioned with the
+    committed assignments — no rebuild, no re-assignment of the old corpus.
+
+    The idempotence guard anti-joins the new batch against the old ID
+    column (an id-only pushdown scan + one shuffle over ids); pass
+    ``assume_new=True`` to skip it when upstream dedup (e.g. the catalog
+    resume filter) already guarantees unseen ids. Ids are treated as
+    IMMUTABLE: a re-submitted id keeps its committed embedding/cell — this
+    is append-only index maintenance, not upsert. Identical to rebuilding
+    only while the coarse quantizer stays representative; rebuild when the
+    distribution drifts (cell-size skew in ``assigned.groupBy('cell')`` is
+    the canary).
     """
     pick1 = _nearest_cells_udf(centroids, 1, decimals=assign_decimals)
-    fresh = new_vectors.join(
-        assigned.select(id_col).distinct(), id_col, "left_anti"
-    )
+    fresh = new_vectors
+    if not assume_new:
+        # ids are unique in the index; no distinct needed for anti-join
+        fresh = new_vectors.join(assigned.select(id_col), id_col, "left_anti")
     newly = fresh.withColumn("cell", pick1(F.col(vec_col))[0])
     return assigned.unionByName(newly.select(*assigned.columns))
 
