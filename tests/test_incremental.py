@@ -187,3 +187,23 @@ def test_incremental_rejects_table_backend(spark, corpus_dfs, tmp_path):
     cat = Catalog(str(tmp_path / "tbl"), backend="table")
     with pytest.raises(NotImplementedError, match="marker"):
         incremental_reconcile(cat, spark, corpus_dfs["documents"])
+
+
+def test_incremental_job_cli(spark, corpus_dfs, committed_full_run, tmp_path, capsys):
+    """spark-submit CLI over the delta plan: batch mode on a parquet drop."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.jobs.incremental_job import (
+        main as inc_main,
+    )
+
+    cat, old_docs, new_docs = committed_full_run
+    drop = str(tmp_path / "new_batch")
+    new_docs.write.parquet(drop)
+    rc = inc_main([
+        "--new-documents", drop, "--output", cat.root, "--max-block-size", "500",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert f"new_records={new_docs.count()}" in out
+    full = reconcile(corpus_dfs["documents"], max_block_size=500)
+    got = cat.read_committed(spark, "scored").count()
+    assert got == full.scored.count()
