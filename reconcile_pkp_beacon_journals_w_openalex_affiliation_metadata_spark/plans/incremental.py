@@ -96,6 +96,27 @@ def incremental_reconcile(
     # again, making every merge idempotent
     old_keys_eff = old_keys.join(new_ids, "doc_id", "left_anti")
 
+    # deterministic batch id: replays derive the SAME id, so the catalog's
+    # batch-replace append makes every publish idempotent
+    stats = new_records.agg(
+        F.count("*").alias("n"), F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+    ).collect()[0]
+    n_new = int(stats["n"])
+    if n_new == 0:
+        # nothing new (or a fully published batch replayed — records is the
+        # LAST table appended, so its presence implies all others landed)
+        return IncrementalResult(
+            n_new_records=0, n_delta_pairs=0, n_delta_matches=0,
+            scored=cat.read_committed(spark, "scored"),
+            clusters=cat.read_committed(spark, "clusters"),
+        )
+    import hashlib
+
+    batch_id = hashlib.md5(
+        f"{n_new}:{stats['lo']}:{stats['hi']}".encode()
+    ).hexdigest()[:12]
+
     delta_pairs = pairs.delta_candidate_pairs(
         old_keys_eff, new_keys,
         n_salts=n_salts,
@@ -107,10 +128,6 @@ def incremental_reconcile(
     delta_scored = scoring.score_pairs(
         delta_pairs, all_records, weights=weights, threshold=threshold
     ).localCheckpoint()
-    pair_ids = delta_pairs.select("left_id", "right_id")
-    merged_scored = old_scored.join(
-        pair_ids, ["left_id", "right_id"], "left_anti"
-    ).unionByName(delta_scored)
 
     # seeded CC: previous assignment as star edges + the delta's matches
     seed_edges = old_clusters.select(
@@ -119,29 +136,23 @@ def incremental_reconcile(
     edges = seed_edges.unionByName(scoring.matched_edges(delta_scored))
     clusters = cluster.connected_components(edges)
 
-    n_new = new_records.count()
     n_delta = delta_pairs.count()
     n_matches = delta_scored.where(F.col("is_match_pred")).count()
 
-    # publish (atomic per table; write_committed refreshes Spark's
-    # path/plan caches so the next run cannot be served a pre-rewrite
-    # cache entry). ORDER MATTERS: "records" goes LAST because it is the
-    # anti-join source that decides whether a replayed batch is "new" — a
-    # crash anywhere before the records commit leaves the batch looking
-    # unprocessed, and the replay redoes every merge idempotently (the
-    # anti-join scrubs above dedup any partially merged rows); committing
-    # records first would instead make the replay a silent no-op with the
-    # downstream tables permanently missing the batch.
-    cat.write_committed(old_keys_eff.unionByName(new_keys), "blocking_keys")
+    # publish with O(batch) APPENDS (batch-replace idempotent), not
+    # O(table) union-rewrites — the whole point of the incremental path.
+    # Only clusters (global result) is rewritten. ORDER MATTERS: "records"
+    # appends LAST because it is the anti-join source deciding whether a
+    # replayed batch is "new" — a crash anywhere earlier leaves the batch
+    # looking unprocessed and the replay re-appends the same batch ids
+    # harmlessly; appending records first would make the replay a silent
+    # no-op with the downstream tables missing the batch.
+    cat.append_committed(new_keys, "blocking_keys", batch_id)
     if old_pairs is not None:
-        cat.write_committed(
-            old_pairs.join(pair_ids, ["left_id", "right_id"], "left_anti")
-            .unionByName(delta_pairs),
-            "candidate_pairs",
-        )
-    cat.write_committed(merged_scored, "scored")
+        cat.append_committed(delta_pairs, "candidate_pairs", batch_id)
+    cat.append_committed(delta_scored, "scored", batch_id)
     cat.write_committed(clusters, "clusters")
-    cat.write_committed(all_records, "records")
+    cat.append_committed(new_records, "records", batch_id)
     return IncrementalResult(
         n_new_records=n_new,
         n_delta_pairs=n_delta,

@@ -150,6 +150,10 @@ class Catalog:
             os.remove(marker)  # demote to uncommitted before touching data
         if os.path.exists(data):
             shutil.rmtree(data)
+        # a full rewrite also supersedes any appended batches
+        for entry in os.listdir(tdir):
+            if entry.startswith("batch_"):
+                shutil.rmtree(os.path.join(tdir, entry), ignore_errors=True)
         os.replace(staging, data)
         tmp_marker = marker + f".tmp_{uuid.uuid4().hex[:8]}"
         with open(tmp_marker, "w") as f:
@@ -161,14 +165,68 @@ class Catalog:
         # this path: a table REwrite keeps the same data dir, and the
         # CacheManager matches persisted plans by canonicalized path — a
         # stale entry would silently serve the pre-rewrite rows
-        df.sparkSession.catalog.refreshByPath(data)
+        df.sparkSession.catalog.refreshByPath(tdir)
+
+    def _read_marker(self, name: str) -> dict:
+        with open(self._marker(name)) as f:
+            return json.load(f)
+
+    def _write_marker(self, name: str, payload: dict) -> None:
+        marker = self._marker(name)
+        tmp = marker + f".tmp_{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, marker)
 
     def read_committed(self, spark: SparkSession, name: str) -> DataFrame | None:
         if not self.is_committed(name, spark):
             return None
         if self.backend == "marker":
-            return spark.read.parquet(os.path.join(self._dir(name), "data"))
+            tdir = self._dir(name)
+            paths = [os.path.join(tdir, "data")]
+            # append-committed batches: only dirs LISTED IN THE MARKER are
+            # readable (a half-written batch dir is invisible)
+            paths += [
+                os.path.join(tdir, f"batch_{b}")
+                for b in self._read_marker(name).get("batches", [])
+            ]
+            return spark.read.parquet(*paths)
         return spark.table(self._table_ident(name))
+
+    def append_committed(self, df: DataFrame, name: str, batch_id: str) -> None:
+        """Append-style commit: O(batch) IO instead of the O(table)
+        union-rewrite — the shape Iceberg appends give in production, here
+        over the marker protocol. The batch is written to
+        ``<table>/batch_<id>`` and becomes visible only when the marker's
+        batch list is atomically replaced. Re-appending the SAME batch_id
+        REPLACES that batch (the id is first retired from the marker, so a
+        crashed replay can never double-count): with deterministic batch
+        ids, replays are idempotent.
+        """
+        if self.backend != "marker":
+            raise NotImplementedError(
+                "append_committed is marker-backend only (use Iceberg "
+                "appends on the iceberg backend in production)"
+            )
+        if not self.is_committed(name):
+            raise ValueError(f"table {name!r} has no base commit to append to")
+        safe = "".join(c if c.isalnum() or c in "-_" else "_" for c in batch_id)
+        tdir = self._dir(name)
+        bdir = os.path.join(tdir, f"batch_{safe}")
+        meta = self._read_marker(name)
+        batches = [b for b in meta.get("batches", []) if b != safe]
+        if len(batches) != len(meta.get("batches", [])):
+            # replay of a known batch: retire it BEFORE touching its dir
+            self._write_marker(name, {**meta, "batches": batches})
+        staging = os.path.join(tdir, f"_staging_{uuid.uuid4().hex[:8]}")
+        df.write.mode("overwrite").parquet(staging)
+        if os.path.exists(bdir):
+            shutil.rmtree(bdir)
+        os.replace(staging, bdir)
+        self._write_marker(name, {**meta, "batches": batches + [safe]})
+        df.sparkSession.catalog.refreshByPath(tdir)
 
     def drop(self, name: str, spark: SparkSession | None = None) -> None:
         if self.backend != "marker":

@@ -162,3 +162,33 @@ def test_compact_reduces_files_preserves_rows(spark, tmp_path):
         assert before == after
         assert len(glob.glob(data_glob)) <= 2
         cat.drop("t", spark)
+
+
+def test_append_committed_batches(spark, tmp_path):
+    """Append-style commits: O(batch) IO, marker-gated visibility, and
+    batch-replace idempotence on replay."""
+    import pytest
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.sources.catalog import (
+        Catalog,
+    )
+
+    cat = Catalog(str(tmp_path / "app"))
+    base = spark.range(0, 10).selectExpr("cast(id as string) as doc_id")
+    with pytest.raises(ValueError, match="base commit"):
+        cat.append_committed(base, "t", "b1")
+    cat.write_committed(base, "t")
+    b1 = spark.range(10, 15).selectExpr("cast(id as string) as doc_id")
+    cat.append_committed(b1, "t", "b1")
+    assert cat.read_committed(spark, "t").count() == 15
+    # replaying the same batch id REPLACES, never duplicates
+    cat.append_committed(b1, "t", "b1")
+    assert cat.read_committed(spark, "t").count() == 15
+    b2 = spark.range(15, 18).selectExpr("cast(id as string) as doc_id")
+    cat.append_committed(b2, "t", "b2")
+    got = sorted(int(r["doc_id"]) for r in cat.read_committed(spark, "t").collect())
+    assert got == list(range(18))
+    # a full rewrite supersedes all batches
+    cat.write_committed(base, "t")
+    assert cat.read_committed(spark, "t").count() == 10
+    cat.drop("t")

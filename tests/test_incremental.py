@@ -145,21 +145,28 @@ def test_streaming_incremental_reconcile(spark, corpus_dfs, committed_full_run, 
 
 
 class _CrashingCatalog(Catalog):
-    """Raises after N successful write_committed calls (crash injection)."""
+    """Raises after N successful publishes (append or rewrite)."""
 
     def __init__(self, root, crash_after):
         super().__init__(root)
         self._writes = 0
         self._crash_after = crash_after
 
-    def write_committed(self, df, name, **kw):
+    def _tick(self):
         if self._writes >= self._crash_after:
             raise RuntimeError("injected crash")
         self._writes += 1
+
+    def write_committed(self, df, name, **kw):
+        self._tick()
         super().write_committed(df, name, **kw)
 
+    def append_committed(self, df, name, batch_id):
+        self._tick()
+        super().append_committed(df, name, batch_id)
 
-@pytest.mark.parametrize("crash_after", [0, 1, 3])
+
+@pytest.mark.parametrize("crash_after", [0, 1, 2, 4])
 def test_incremental_crash_then_replay_recovers(
     spark, corpus_dfs, committed_full_run, crash_after
 ):

@@ -206,6 +206,76 @@ def leg_layer2(cores: int) -> dict:
     }
 
 
+def leg_inc(cores: int) -> dict:
+    """Incremental fold vs full rebuild on the same input: the daily-batch
+    economics. 90% of the corpus is a committed full run (untimed prep);
+    the timed comparison is folding the remaining 10% via the delta plan
+    vs rebuilding 100% from scratch — both including their catalog
+    publishes, so the ratio is end-to-end."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.plans.incremental import (
+        incremental_reconcile,
+    )
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.plans.reconcile import (
+        reconcile,
+    )
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.sources.catalog import (
+        Catalog,
+    )
+
+    spark = _spark(cores)
+    docs = spark.read.parquet(f"{PREP_DIR}/documents.parquet")
+    h = F.pmod(F.xxhash64("doc_id"), F.lit(10))
+    old_docs, new_docs = docs.where(h != 0), docs.where(h == 0)
+    kw = dict(hot_pair_threshold=100_000, max_block_size=2000)
+    _warm(spark, cores)
+
+    def _commit_all(cat, res):
+        cat.write_committed(res.records, "records")
+        cat.write_committed(res.keys, "blocking_keys")
+        cat.write_committed(res.candidate_pairs, "candidate_pairs")
+        cat.write_committed(res.scored, "scored")
+        cat.write_committed(res.clusters, "clusters")
+
+    root_inc = tempfile.mkdtemp(prefix="inc_bench_")
+    root_full = tempfile.mkdtemp(prefix="full_bench_")
+    try:
+        cat = Catalog(root_inc)
+        _commit_all(cat, reconcile(old_docs, **kw))  # untimed prior state
+        # drop the prep run's caches AND its localCheckpoint RDDs before
+        # timing (gc releases the checkpoint references; without this the
+        # timed phases run against a half-full executor heap)
+        spark.catalog.clearCache()
+        import gc
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+
+        t0 = time.perf_counter()
+        res_inc = incremental_reconcile(cat, spark, new_docs, **kw)
+        t_inc = time.perf_counter() - t0
+
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        _commit_all(Catalog(root_full), reconcile(docs, **kw))
+        t_full = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(root_inc, ignore_errors=True)
+        shutil.rmtree(root_full, ignore_errors=True)
+    return {
+        "layer": "inc", "cores": cores,
+        "n_new_records": res_inc.n_new_records,
+        "delta_pairs": res_inc.n_delta_pairs,
+        "incremental_fold_sec": round(t_inc, 2),
+        "full_rebuild_sec": round(t_full, 2),
+        "speedup": round(t_full / t_inc, 2),
+    }
+
+
 def _run_sub(args: list[str]) -> dict:
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), *args],
@@ -218,13 +288,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--prep", action="store_true")
     ap.add_argument("--leg", type=int, default=0)
-    ap.add_argument("--layer", type=str, default="1", choices=["1", "2", "2s"])
+    ap.add_argument("--layer", type=str, default="1", choices=["1", "2", "2s", "inc"])
     args = ap.parse_args()
     if args.prep:
         prep()
         return
     if args.leg:
-        fn = {"1": leg_layer1, "2": leg_layer2, "2s": leg_layer2_staged}[args.layer]
+        fn = {
+            "1": leg_layer1, "2": leg_layer2, "2s": leg_layer2_staged,
+            "inc": leg_inc,
+        }[args.layer]
         print(json.dumps(fn(args.leg)))
         return
 
