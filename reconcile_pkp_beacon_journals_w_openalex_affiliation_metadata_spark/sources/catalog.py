@@ -212,6 +212,13 @@ class Catalog:
             )
         if not self.is_committed(name):
             raise ValueError(f"table {name!r} has no base commit to append to")
+        spark = df.sparkSession
+        committed = self.read_committed(spark, name)
+        if committed is not None and set(df.columns) != set(committed.columns):
+            raise ValueError(
+                f"append to {name!r} with mismatched columns: "
+                f"{sorted(df.columns)} vs committed {sorted(committed.columns)}"
+            )
         safe = "".join(c if c.isalnum() or c in "-_" else "_" for c in batch_id)
         tdir = self._dir(name)
         bdir = os.path.join(tdir, f"batch_{safe}")

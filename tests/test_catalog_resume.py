@@ -192,3 +192,35 @@ def test_append_committed_batches(spark, tmp_path):
     cat.write_committed(base, "t")
     assert cat.read_committed(spark, "t").count() == 10
     cat.drop("t")
+
+
+def test_append_schema_guard_and_compact_folds_batches(spark, tmp_path):
+    import glob
+
+    import pytest
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.sources.catalog import (
+        Catalog,
+    )
+
+    cat = Catalog(str(tmp_path / "fold"))
+    base = spark.range(0, 100).selectExpr("cast(id as string) as doc_id")
+    cat.write_committed(base, "t")
+    with pytest.raises(ValueError, match="mismatched columns"):
+        cat.append_committed(
+            spark.range(3).selectExpr("id as other_col"), "t", "bad"
+        )
+    for i in range(3):
+        cat.append_committed(
+            spark.range(100 + 10 * i, 110 + 10 * i).selectExpr(
+                "cast(id as string) as doc_id"
+            ),
+            "t", f"b{i}",
+        )
+    assert cat.read_committed(spark, "t").count() == 130
+    assert len(glob.glob(str(tmp_path / "fold" / "t" / "batch_*"))) == 3
+    # compaction folds the batches back into one base
+    cat.compact(spark, "t", 2)
+    assert len(glob.glob(str(tmp_path / "fold" / "t" / "batch_*"))) == 0
+    assert cat.read_committed(spark, "t").count() == 130
+    cat.drop("t")
