@@ -152,6 +152,23 @@ def simhash_codes(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def _simhash_block_exprs(max_hamming: int):
+    """Block columns for the pigeonhole split (see simhash_near_pairs)."""
+    if not 0 <= max_hamming <= 63:
+        raise ValueError("max_hamming must be in [0, 63]")
+    n_blocks = max_hamming + 1
+    widths = [64 // n_blocks + (1 if i < 64 % n_blocks else 0) for i in range(n_blocks)]
+    offsets = [sum(widths[:i]) for i in range(n_blocks)]
+
+    def _block(i: int):
+        shifted = F.shiftrightunsigned("simhash", offsets[i])
+        if widths[i] >= 64:  # full-code block (radius 0): mask literal would
+            return shifted.alias(f"blk{i}")  # overflow a signed 64-bit long
+        return shifted.bitwiseAND(F.lit((1 << widths[i]) - 1)).alias(f"blk{i}")
+
+    return n_blocks, [_block(i) for i in range(n_blocks)]
+
+
 def simhash_near_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
 ) -> DataFrame:
@@ -160,24 +177,13 @@ def simhash_near_pairs(
     by pigeonhole it agrees exactly on >= 1 block — block-equality buckets
     are therefore a complete candidate set for ANY radius (a fixed 4-block
     split is only complete for radius <= 3)."""
-    if not 0 <= max_hamming <= 63:
-        raise ValueError("max_hamming must be in [0, 63]")
-    n_blocks = max_hamming + 1
-    widths = [64 // n_blocks + (1 if i < 64 % n_blocks else 0) for i in range(n_blocks)]
-    offsets = [sum(widths[:i]) for i in range(n_blocks)]
+    n_blocks, block_cols = _simhash_block_exprs(max_hamming)
     codes = simhash_codes(df, id_col, text_col)
-    def _block(i: int):
-        shifted = F.shiftrightunsigned("simhash", offsets[i])
-        if widths[i] >= 64:  # full-code block (radius 0): mask literal would
-            return shifted.alias(f"blk{i}")  # overflow a signed 64-bit long
-        return shifted.bitwiseAND(F.lit((1 << widths[i]) - 1)).alias(f"blk{i}")
 
     # persist: every block family references this twice (self-join sides),
     # so without a materialization the simhash UDF would run 2*n_blocks
     # times over the corpus (same lesson as the LSH banding pass)
-    blocks = codes.select(
-        "id", "simhash", *[_block(i) for i in range(n_blocks)]
-    ).persist()
+    blocks = codes.select("id", "simhash", *block_cols).persist()
     parts = []
     for i in range(n_blocks):
         k = blocks.select(
@@ -201,6 +207,55 @@ def simhash_near_pairs(
         cand.distinct()
         .where(ham <= max_hamming)
         .select("left_id", "right_id", ham.alias("hamming"))
+    )
+
+
+def delta_simhash_pairs(
+    old_codes: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Hamming-radius pairs with >= 1 NEW endpoint.
+
+    ``old_codes`` is a committed ``simhash_codes`` output (id, simhash):
+    the corpus hashes once; each new batch runs the simhash UDF over its
+    own docs only, and the per-block joins are new x (old + new) — never
+    old x old. Completes the incremental-dedup family alongside
+    ``delta_minhash_pairs``.
+    """
+    n_blocks, block_cols = _simhash_block_exprs(max_hamming)
+    new_codes = simhash_codes(new_docs, id_col, text_col)
+    blocks_new = new_codes.select("id", "simhash", *block_cols).persist()
+    blocks_all = (
+        old_codes.unionByName(new_codes).select("id", "simhash", *block_cols)
+        .persist()
+    )
+    parts = []
+    for i in range(n_blocks):
+        sel = lambda d: d.select(  # noqa: E731
+            "id", "simhash",
+            F.concat(F.lit(f"{i}:"), F.col(f"blk{i}").cast("string")).alias("bk"),
+        )
+        n, t = sel(blocks_new).alias("n"), sel(blocks_all).alias("t")
+        parts.append(
+            n.join(t, (F.col("n.bk") == F.col("t.bk")) & (F.col("n.id") != F.col("t.id")))
+            .select(
+                F.least(F.col("n.id"), F.col("t.id")).alias("left_id"),
+                F.greatest(F.col("n.id"), F.col("t.id")).alias("right_id"),
+                F.col("n.simhash").alias("sh_l"),  # hamming is symmetric
+                F.col("t.simhash").alias("sh_r"),
+            )
+        )
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.unionByName(p)
+    ham = F.bit_count(F.col("sh_l").bitwiseXOR(F.col("sh_r")))
+    return (
+        cand.where(ham <= max_hamming)
+        .select("left_id", "right_id", ham.alias("hamming"))
+        .distinct()
     )
 
 

@@ -262,3 +262,35 @@ def test_ivf_insert_matches_rebuild_with_same_centroids(spark, corpus_dfs):
     # idempotence: re-inserting the same batch adds nothing
     again = ivf_insert(merged, cents, new)
     assert again.count() == merged.count()
+
+
+def test_delta_simhash_pairs_equals_full_pass(spark, corpus_dfs):
+    """Incremental simhash: only the new batch is hashed; new x all block
+    joins reproduce the full pass's new-endpoint pairs exactly."""
+    from pyspark.sql import functions as F
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.operators import (
+        dedup,
+    )
+
+    docs = corpus_dfs["documents"].select(
+        "doc_id", F.concat_ws(" ", F.transform("spans", lambda s: s["text"])).alias("text")
+    )
+    h = F.pmod(F.xxhash64("doc_id"), F.lit(4))
+    old_docs, new_docs = docs.where(h != 0), docs.where(h == 0)
+    new_ids = {r["doc_id"] for r in new_docs.select("doc_id").collect()}
+
+    full = {
+        (r["left_id"], r["right_id"], r["hamming"])
+        for r in dedup.simhash_near_pairs(docs, max_hamming=6).collect()
+    }
+    want_delta = {
+        p for p in full if p[0] in new_ids or p[1] in new_ids
+    }
+    old_codes = dedup.simhash_codes(old_docs)
+    got_delta = {
+        (r["left_id"], r["right_id"], r["hamming"])
+        for r in dedup.delta_simhash_pairs(old_codes, new_docs, max_hamming=6).collect()
+    }
+    assert got_delta == want_delta
+    assert want_delta  # radius 6 on near-dup corpus: non-trivial delta
