@@ -44,7 +44,7 @@ def main(argv=None):
 
     from pyspark.sql import SparkSession
 
-    from ..sources.catalog import Catalog
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.sources.catalog import Catalog
 
     spark = SparkSession.builder.appName("reconcile_incremental").getOrCreate()
     cat = Catalog(args.output)
@@ -54,7 +54,7 @@ def main(argv=None):
         max_block_size=args.max_block_size,
     )
     if args.stream_dir:
-        from ..streaming.incremental import streaming_incremental_reconcile
+        from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.streaming.incremental import streaming_incremental_reconcile
 
         results = streaming_incremental_reconcile(
             cat, spark, args.stream_dir, args.checkpoint, **kwargs
@@ -66,7 +66,7 @@ def main(argv=None):
             f"output={args.output}"
         )
         return 0
-    from ..plans.incremental import incremental_reconcile
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.plans.incremental import incremental_reconcile
 
     docs = spark.read.parquet(args.new_documents)
     res = incremental_reconcile(cat, spark, docs, **kwargs)
@@ -78,4 +78,11 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
+    # script-mode bootstrap: `python .../jobs/<job>.py` (or spark-submit
+    # without --py-files) puts the jobs/ dir on sys.path, not the repo root
+    import os
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    )
     sys.exit(main())

@@ -66,9 +66,9 @@ def main(argv=None):
 
     from pyspark.sql import SparkSession
 
-    from .. import schemas, synth
-    from ..operators import blocking, cluster, extract, lineage, pairs, scoring
-    from ..sources.catalog import Catalog, run_stage
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark import schemas, synth
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.operators import blocking, cluster, extract, lineage, pairs, scoring
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.sources.catalog import Catalog, run_stage
 
     # on a cluster the session comes from spark-submit; local fallback for smoke
     spark = SparkSession.builder.appName("reconcile_pkp_openalex").getOrCreate()
@@ -122,7 +122,7 @@ def main(argv=None):
         labeled = spark.read.parquet(args.labeled)
     cal = None
     if labeled is not None:
-        from ..operators import calibrate
+        from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.operators import calibrate
 
         cal = calibrate.fit_calibration(records, labeled)
         print(
@@ -165,4 +165,11 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
+    # script-mode bootstrap: `python .../jobs/<job>.py` (or spark-submit
+    # without --py-files) puts the jobs/ dir on sys.path, not the repo root
+    import os
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    )
     sys.exit(main())

@@ -228,8 +228,12 @@ def delta_simhash_pairs(
     n_blocks, block_cols = _simhash_block_exprs(max_hamming)
     new_codes = simhash_codes(new_docs, id_col, text_col)
     blocks_new = new_codes.select("id", "simhash", *block_cols).persist()
+    # union of BLOCK frames, reusing the persisted new side — building
+    # blocks_all from new_codes directly would re-run the simhash UDF over
+    # the new batch a second time
     blocks_all = (
-        old_codes.unionByName(new_codes).select("id", "simhash", *block_cols)
+        old_codes.select("id", "simhash", *block_cols)
+        .unionByName(blocks_new)
         .persist()
     )
     parts = []

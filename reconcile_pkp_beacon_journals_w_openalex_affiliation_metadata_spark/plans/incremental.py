@@ -65,6 +65,17 @@ def incremental_reconcile(
             "incremental_reconcile supports the 'marker' catalog backend; "
             f"got {cat.backend!r} (table/iceberg need append-style commits)"
         )
+    # retire ORPHANED batches from a crashed prior run first: records
+    # appends LAST, so any batch id present in a downstream table but
+    # absent from records never completed — and a replay may arrive with a
+    # DIFFERENT batch composition (hence a different batch id), so the
+    # batch-replace idempotence alone would leave the orphan's rows behind
+    rec_batches = set(cat.list_batches("records"))
+    for t in ("blocking_keys", "candidate_pairs", "scored"):
+        for b in cat.list_batches(t):
+            if b not in rec_batches:
+                cat.drop_batch(t, b)
+
     old_records = cat.read_committed(spark, "records")
     old_keys = cat.read_committed(spark, "blocking_keys")
     old_scored = cat.read_committed(spark, "scored")

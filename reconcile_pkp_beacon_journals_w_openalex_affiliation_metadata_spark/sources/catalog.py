@@ -157,7 +157,14 @@ class Catalog:
         os.replace(staging, data)
         tmp_marker = marker + f".tmp_{uuid.uuid4().hex[:8]}"
         with open(tmp_marker, "w") as f:
-            json.dump({"table": name, "meta": meta or {}}, f)
+            json.dump(
+                {
+                    "table": name,
+                    "meta": meta or {},
+                    "partition_by": partition_by or [],
+                },
+                f,
+            )
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp_marker, marker)
@@ -213,16 +220,25 @@ class Catalog:
         if not self.is_committed(name):
             raise ValueError(f"table {name!r} has no base commit to append to")
         spark = df.sparkSession
-        committed = self.read_committed(spark, name)
-        if committed is not None and set(df.columns) != set(committed.columns):
+        tdir = self._dir(name)
+        meta = self._read_marker(name)
+        if meta.get("partition_by"):
+            raise NotImplementedError(
+                f"append to {name!r}: the base commit is hive-partitioned by "
+                f"{meta['partition_by']} and flat batch dirs cannot be mixed "
+                "into a partitioned layout"
+            )
+        # schema guard against the BASE dir only (one footer read — batches
+        # share its schema by induction; reading the whole table here would
+        # make the guard O(#batches) per append)
+        base_cols = set(spark.read.parquet(os.path.join(tdir, "data")).columns)
+        if set(df.columns) != base_cols:
             raise ValueError(
                 f"append to {name!r} with mismatched columns: "
-                f"{sorted(df.columns)} vs committed {sorted(committed.columns)}"
+                f"{sorted(df.columns)} vs committed {sorted(base_cols)}"
             )
         safe = "".join(c if c.isalnum() or c in "-_" else "_" for c in batch_id)
-        tdir = self._dir(name)
         bdir = os.path.join(tdir, f"batch_{safe}")
-        meta = self._read_marker(name)
         batches = [b for b in meta.get("batches", []) if b != safe]
         if len(batches) != len(meta.get("batches", [])):
             # replay of a known batch: retire it BEFORE touching its dir
@@ -234,6 +250,26 @@ class Catalog:
         os.replace(staging, bdir)
         self._write_marker(name, {**meta, "batches": batches + [safe]})
         df.sparkSession.catalog.refreshByPath(tdir)
+
+    def list_batches(self, name: str) -> list[str]:
+        if self.backend != "marker" or not self.is_committed(name):
+            return []
+        return list(self._read_marker(name).get("batches", []))
+
+    def drop_batch(self, name: str, batch_id: str) -> None:
+        """Retire an appended batch: the marker entry goes first (atomic —
+        readers never see the dir disappear while it is still listed)."""
+        meta = self._read_marker(name)
+        self._write_marker(
+            name,
+            {**meta, "batches": [b for b in meta.get("batches", []) if b != batch_id]},
+        )
+        shutil.rmtree(
+            os.path.join(self._dir(name), f"batch_{batch_id}"), ignore_errors=True
+        )
+        spark = SparkSession.getActiveSession()
+        if spark is not None:
+            spark.catalog.refreshByPath(self._dir(name))
 
     def drop(self, name: str, spark: SparkSession | None = None) -> None:
         if self.backend != "marker":

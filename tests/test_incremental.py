@@ -166,7 +166,7 @@ class _CrashingCatalog(Catalog):
         super().append_committed(df, name, batch_id)
 
 
-@pytest.mark.parametrize("crash_after", [0, 1, 2, 4])
+@pytest.mark.parametrize("crash_after", [0, 1, 2, 3, 4])
 def test_incremental_crash_then_replay_recovers(
     spark, corpus_dfs, committed_full_run, crash_after
 ):
@@ -286,3 +286,31 @@ def test_seeded_cc_equals_full_cc_on_random_graphs(spark):
             ).collect()
         }
         assert seeded == full, f"seed={seed}"
+
+
+def test_crashed_batch_replayed_with_different_composition(
+    spark, corpus_dfs, committed_full_run
+):
+    """A crashed batch {A,B} later resubmitted as {A,B,C} gets a DIFFERENT
+    batch id — the orphan retirement must purge the crashed batch's rows so
+    nothing is duplicated."""
+    cat, old_docs, new_docs = committed_full_run
+    h2 = F.pmod(F.xxhash64("doc_id"), F.lit(2))
+    part_ab = new_docs.where(h2 == 0)
+    # crash after 3 publishes (keys+pairs+scored appended, records absent)
+    crashing = _CrashingCatalog(cat.root, 3)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        incremental_reconcile(crashing, spark, part_ab, max_block_size=500)
+    # replay with a LARGER batch (the full new set)
+    res = incremental_reconcile(cat, spark, new_docs, max_block_size=500)
+    assert res.n_new_records == new_docs.count()
+    full = reconcile(corpus_dfs["documents"], max_block_size=500)
+    inc_scored = cat.read_committed(spark, "scored")
+    k = lambda r: (r["left_id"], r["right_id"], r["is_match_pred"])
+    assert sorted(map(k, inc_scored.collect())) == sorted(
+        map(k, full.scored.collect())
+    )
+    # no orphaned batch dirs remain unaccounted
+    rec_b = set(cat.list_batches("records"))
+    for t in ("blocking_keys", "candidate_pairs", "scored"):
+        assert set(cat.list_batches(t)) <= rec_b
