@@ -71,10 +71,16 @@ def _apply_flags(
         if dropped_keys:
             ddf = spark.createDataFrame([(x,) for x in dropped_keys], "key string")
             k = k.join(F.broadcast(ddf), "key", "left_anti")
-        hdf = spark.createDataFrame([(x,) for x in hot_keys] or [("",)], "key string")
-        k = k.join(
-            F.broadcast(hdf.withColumn("is_hot", F.lit(True))), "key", "left"
-        ).withColumn("is_hot", F.coalesce(F.col("is_hot"), F.lit(False)))
+        if hot_keys:
+            hdf = spark.createDataFrame([(x,) for x in hot_keys], "key string")
+            k = k.join(
+                F.broadcast(hdf.withColumn("is_hot", F.lit(True))), "key", "left"
+            ).withColumn("is_hot", F.coalesce(F.col("is_hot"), F.lit(False)))
+        else:
+            # no hot keys: skip the join entirely (a placeholder row would
+            # silently mark the empty-string key hot for any unprefixed
+            # key family added later)
+            k = k.withColumn("is_hot", F.lit(False))
     else:
         if dropped_keys:
             k = k.where(~F.col("key").isin(dropped_keys))

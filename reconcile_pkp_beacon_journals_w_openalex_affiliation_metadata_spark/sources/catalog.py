@@ -28,9 +28,13 @@ so every stage and test runs identically over any of them:
   catalog only after a successful write.
 - ``iceberg``: ``df.writeTo(<catalog>.<name>).createOrReplace()`` — the
   documented production target (real snapshot isolation, partition
-  evolution, incremental reads). Requires the Iceberg runtime jar and a
-  configured Spark catalog; raises a clear error here (sandbox has no jar)
-  and its test auto-skips.
+  evolution, incremental reads). **UNTESTED — needs the Iceberg runtime
+  jar**, which this sandbox does not have and cannot download; the code
+  path has never executed here (it raises a clear error without the jar,
+  and its test auto-skips). Treat it as a documented write-up of the
+  intended production mapping, not verified behavior: run the parametrized
+  resume/compaction tests with the jar on the classpath before relying on
+  it.
 """
 
 from __future__ import annotations
@@ -139,6 +143,7 @@ class Catalog:
                 "or 'iceberg' (the marker backend writes bare parquet dirs)"
             )
         tdir = self._dir(name)
+        self._sweep_stale_staging(tdir)
         staging = os.path.join(tdir, f"_staging_{uuid.uuid4().hex[:8]}")
         data = os.path.join(tdir, "data")
         w = df.write.mode("overwrite")
@@ -173,6 +178,19 @@ class Catalog:
         # CacheManager matches persisted plans by canonicalized path — a
         # stale entry would silently serve the pre-rewrite rows
         df.sparkSession.catalog.refreshByPath(tdir)
+
+    @staticmethod
+    def _sweep_stale_staging(tdir: str) -> None:
+        """Remove ``_staging_*`` dirs left by a crash between the staging
+        write and its os.replace publish. Safe because the protocol is
+        single-writer per table: any staging dir present when a NEW write
+        starts is by definition dead (its writer either published — the dir
+        was renamed away — or crashed)."""
+        if not os.path.isdir(tdir):
+            return
+        for entry in os.listdir(tdir):
+            if entry.startswith("_staging_"):
+                shutil.rmtree(os.path.join(tdir, entry), ignore_errors=True)
 
     def _read_marker(self, name: str) -> dict:
         with open(self._marker(name)) as f:
@@ -243,6 +261,7 @@ class Catalog:
         if len(batches) != len(meta.get("batches", [])):
             # replay of a known batch: retire it BEFORE touching its dir
             self._write_marker(name, {**meta, "batches": batches})
+        self._sweep_stale_staging(tdir)
         staging = os.path.join(tdir, f"_staging_{uuid.uuid4().hex[:8]}")
         df.write.mode("overwrite").parquet(staging)
         if os.path.exists(bdir):
@@ -293,12 +312,32 @@ class Catalog:
         bucketed while it is being rewritten anyway (table/iceberg
         backends). The read is localCheckpoint-ed first so the rewrite
         never scans the path it is replacing.
+
+        The existing layout is preserved: a hive-partitioned table is
+        republished with the SAME partition_by (and, on the marker backend,
+        the same marker meta) — compaction must never silently flatten a
+        partitioned table and lose downstream partition pruning.
         """
         df = self.read_committed(spark, name)
         if df is None:
             raise ValueError(f"table {name!r} is not committed")
+        partition_by: list[str] | None = None
+        meta: dict | None = None
+        if self.backend == "marker":
+            m = self._read_marker(name)
+            partition_by = m.get("partition_by") or None
+            meta = m.get("meta") or None
+        elif self.backend == "table":
+            partition_by = [
+                c.name
+                for c in spark.catalog.listColumns(self._table_ident(name))
+                if c.isPartition
+            ] or None
         pinned = df.coalesce(target_partitions).localCheckpoint()
-        self.write_committed(pinned, name, bucket_by=bucket_by)
+        self.write_committed(
+            pinned, name,
+            partition_by=partition_by, meta=meta, bucket_by=bucket_by,
+        )
 
     def resume_filter(
         self, spark: SparkSession, inputs: DataFrame, name: str, key: str | list[str]

@@ -48,6 +48,45 @@ _OUT_SCHEMA = T.StructType(
 )
 
 
+def _fold_group(
+    key_val,
+    chunks: list[pd.Series],
+    state_tuple: tuple | None,
+    gap_us: int,
+) -> tuple[list[tuple], tuple | None]:
+    """Fold one group's event-time chunks into (closed_sessions, open_state).
+
+    Arrow hands the group over as MULTIPLE chunks with no ordering guarantee
+    ACROSS them — every chunk is collected first and sorted ONCE so the
+    per-group event-time order the module docstring promises holds even when
+    a user's events span chunks (sorting per chunk could close a session
+    early on an out-of-order later chunk). Module-level so the multi-chunk
+    ordering contract is directly unit-testable without a streaming query.
+    """
+    start_us = last_us = None
+    n = 0
+    if state_tuple is not None:
+        start_us, last_us, n = state_tuple
+    closed: list[tuple] = []
+    chunks = [c for c in chunks if len(c)]
+    if chunks:
+        # pandas datetime64[ns] -> integer microseconds
+        ts_us = (pd.concat(chunks).astype("int64") // 1000).sort_values()
+        for t in ts_us:
+            t = int(t)
+            if start_us is None:
+                start_us, last_us, n = t, t, 1
+            elif t <= last_us:
+                n += 1  # straggler inside the open session
+            elif t - last_us > gap_us:
+                closed.append((key_val, start_us, last_us, n))
+                start_us, last_us, n = t, t, 1
+            else:
+                last_us, n = t, n + 1
+    open_state = None if start_us is None else (start_us, last_us, n)
+    return closed, open_state
+
+
 def sessionize_stream(
     stream: DataFrame,
     gap_s: int = 1800,
@@ -70,31 +109,16 @@ def sessionize_stream(
                 columns=[f.name for f in _OUT_SCHEMA.fields],
             )
             return
-        start_us = last_us = None
-        n = 0
-        if state.exists:
-            start_us, last_us, n = state.get
-        closed = []
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            # pandas datetime64[ns] -> integer microseconds
-            ts_us = (pdf[ts_col].astype("int64") // 1000).sort_values()
-            for t in ts_us:
-                t = int(t)
-                if start_us is None:
-                    start_us, last_us, n = t, t, 1
-                elif t <= last_us:
-                    n += 1  # straggler inside the open session
-                elif t - last_us > gap_us:
-                    closed.append((key[0], start_us, last_us, n))
-                    start_us, last_us, n = t, t, 1
-                else:
-                    last_us, n = t, n + 1
-        if start_us is not None:
-            state.update((start_us, last_us, n))
+        closed, open_state = _fold_group(
+            key[0],
+            [pdf[ts_col] for pdf in pdfs],
+            state.get if state.exists else None,
+            gap_us,
+        )
+        if open_state is not None:
+            state.update(open_state)
             if timeout == "event_time":
-                state.setTimeoutTimestamp((last_us + gap_us) // 1000)
+                state.setTimeoutTimestamp((open_state[1] + gap_us) // 1000)
         if closed:
             yield pd.DataFrame(
                 closed, columns=[f.name for f in _OUT_SCHEMA.fields]

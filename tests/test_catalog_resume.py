@@ -224,3 +224,63 @@ def test_append_schema_guard_and_compact_folds_batches(spark, tmp_path):
     assert len(glob.glob(str(tmp_path / "fold" / "t" / "batch_*"))) == 0
     assert cat.read_committed(spark, "t").count() == 130
     cat.drop("t")
+
+
+def test_compact_preserves_partition_layout_and_meta(spark, tmp_path):
+    """ADVICE r3: compacting a hive-partitioned table must republish it with
+    the SAME partition_by (pruning survives) and the same marker meta."""
+    import glob
+
+    for backend in ("marker", "table"):
+        cat = Catalog(str(tmp_path / f"cpp_{backend}"), backend=backend)
+        df = spark.range(0, 200).repartition(8).selectExpr(
+            "cast(id as string) as doc_id", "id % 3 as shard", "id * 2 as v"
+        )
+        cat.write_committed(
+            df, "t", partition_by=["shard"],
+            meta={"stage": "scored"} if backend == "marker" else None,
+        )
+        before = sorted(
+            (r["doc_id"], r["shard"], r["v"])
+            for r in cat.read_committed(spark, "t").collect()
+        )
+        cat.compact(spark, "t", 1)
+        sub = "data" if backend == "marker" else "table_data"
+        part_dirs = glob.glob(str(tmp_path / f"cpp_{backend}" / "t" / sub / "shard=*"))
+        assert sorted(os.path.basename(p) for p in part_dirs) == [
+            "shard=0", "shard=1", "shard=2",
+        ]
+        after = sorted(
+            (r["doc_id"], r["shard"], r["v"])
+            for r in cat.read_committed(spark, "t").collect()
+        )
+        assert before == after
+        if backend == "marker":
+            assert cat._read_marker("t")["meta"] == {"stage": "scored"}
+            assert cat._read_marker("t")["partition_by"] == ["shard"]
+        cat.drop("t", spark)
+
+
+def test_stale_staging_dirs_swept_on_next_write(spark, tmp_path):
+    """ADVICE r3: _staging_* dirs orphaned by a crash between the staging
+    write and os.replace are cleaned up by the next write/append."""
+    cat = Catalog(str(tmp_path / "sweep"))
+    df = spark.range(10).selectExpr("cast(id as string) as doc_id")
+    cat.write_committed(df, "t")
+    tdir = tmp_path / "sweep" / "t"
+    # simulate two crashed writers
+    for tok in ("deadbeef", "cafebabe"):
+        d = tdir / f"_staging_{tok}"
+        os.makedirs(d)
+        (d / "part-orphan.parquet").write_bytes(b"junk")
+    assert len(list(tdir.glob("_staging_*"))) == 2
+    cat.write_committed(df, "t")
+    assert list(tdir.glob("_staging_*")) == []
+    # append path sweeps too
+    d = tdir / "_staging_00000000"
+    os.makedirs(d)
+    cat.append_committed(
+        spark.range(10, 12).selectExpr("cast(id as string) as doc_id"), "t", "b1"
+    )
+    assert list(tdir.glob("_staging_*")) == []
+    assert cat.read_committed(spark, "t").count() == 12

@@ -235,3 +235,31 @@ def test_sessionize_stream_matches_batch_sessions(spark, tmp_path):
         (20, base + 5, base + 700, 4),
     }
     assert got == expected
+
+
+def test_sessionize_fold_sorts_across_chunks():
+    """ADVICE r3: events arriving as multiple out-of-order Arrow chunks must
+    be sorted ACROSS chunks, not per chunk — per-chunk sorting would close a
+    session prematurely when a later chunk carries earlier timestamps."""
+    import pandas as pd
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.streaming.sessionize import (
+        _fold_group,
+    )
+
+    gap_us = 1800 * 1_000_000
+    base = 1_700_000_000_000_000  # us
+    # chunk 1 carries LATER events than chunk 2; sorted per chunk, the
+    # backward jump (<= last_us) would fold chunk 2 into a straggler count
+    # instead of the correct single contiguous session
+    c1 = pd.Series(pd.to_datetime([base + 3600_000_000, base + 3660_000_000], unit="us"))
+    c2 = pd.Series(pd.to_datetime([base, base + 60_000_000, base + 120_000_000], unit="us"))
+    closed, open_state = _fold_group(7, [c1, c2], None, gap_us)
+    # one session closed at the gap (3 events), open session holds 2 events
+    assert closed == [(7, base, base + 120_000_000, 3)]
+    assert open_state == (base + 3600_000_000, base + 3660_000_000, 2)
+    # state threading: a committed open session extends, stragglers count
+    c3 = pd.Series(pd.to_datetime([base + 3661_000_000], unit="us"))
+    closed2, open2 = _fold_group(7, [c3], open_state, gap_us)
+    assert closed2 == []
+    assert open2 == (base + 3600_000_000, base + 3661_000_000, 3)

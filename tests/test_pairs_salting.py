@@ -92,3 +92,22 @@ def test_salt_distribution_spreads_hot_left(spark):
         .groupBy("s").count().collect()
     )
     assert len(salts) >= 6  # 64 ids over 8 salts: expect most buckets hit
+
+
+def test_broadcast_fallback_empty_hot_no_placeholder(spark):
+    """ADVICE r3: with >10k dropped keys and ZERO hot keys, the broadcast
+    fallback must not plan a placeholder hot frame — previously the [("",)]
+    row silently marked the empty-string key hot. An unprefixed ""-keyed
+    row must come through is_hot=False."""
+    dropped = [f"k:{i}" for i in range(10_100)]
+    k = _keys_df(
+        spark,
+        [("pkp:1", "pkp", ""), ("oa:1", "oa", ""), ("pkp:2", "pkp", "keep:x")],
+    )
+    flagged = pairs._apply_flags(k, dropped, [])
+    rows = {(r["doc_id"], r["key"]): r["is_hot"] for r in flagged.collect()}
+    assert rows == {
+        ("pkp:1", ""): False,
+        ("oa:1", ""): False,
+        ("pkp:2", "keep:x"): False,
+    }
