@@ -1945,6 +1945,72 @@ def t10(spark, sf):
     ).orderBy("source", "doc_id")
 
 
+_T11_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+              - n_tokens AS BIGINT) AS tok_before
+  FROM toks
+), cov AS (
+  SELECT doc_id, source, n_tokens, tok_before,
+         unnest(generate_series(tok_before // 256,
+                                (tok_before + n_tokens - 1) // 256)) AS pack_id
+  FROM packed
+)
+SELECT doc_id, source,
+       CAST(pack_id AS BIGINT) AS pack_id,
+       CAST(greatest(pack_id * 256, tok_before) - tok_before AS BIGINT)
+         AS slice_start,
+       CAST(least((pack_id + 1) * 256, tok_before + n_tokens)
+            - greatest(pack_id * 256, tok_before) AS BIGINT) AS slice_len,
+       CAST(greatest(pack_id * 256, tok_before) - pack_id * 256 AS BIGINT)
+         AS pack_offset
+FROM cov ORDER BY source, doc_id, pack_id
+"""
+
+
+@_q("t11_sequence_packing_slices", _T11_ORACLE)
+def t11(spark, sf):
+    # TRUE sequence packing (closes t10's gap): a doc that crosses a pack
+    # boundary is SPLIT — one coverage row per (doc, pack) overlap, carrying
+    # the in-doc slice [slice_start, slice_start+slice_len) and where it
+    # lands (pack_id, pack_offset). Every 256-token pack is exactly full
+    # except the last per stratum (pytest-asserted). Pack size here is 256
+    # (not the production-typical 2048) so the sf0.01 driver data — ~1.5k
+    # tokens per stratum — actually exercises the boundary-split path; the
+    # math is size-agnostic. All native column math:
+    # one window for the running sum, then sequence+explode of the pack
+    # range — at 100 TB this is one shuffle on the stratum key and a
+    # row-local explode whose fan-out is 1 + n_tokens/256 per doc.
+    from pyspark.sql import Window
+
+    d = _t(spark, sf, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    toks = d.select("doc_id", "source", n_tok.alias("n_tokens"))
+    packed = toks.withColumn(
+        "tok_before", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    first_p = F.floor(F.col("tok_before") / 256)
+    last_p = F.floor((F.col("tok_before") + F.col("n_tokens") - 1) / 256)
+    cov = packed.withColumn("pack_id", F.explode(F.sequence(first_p, last_p)))
+    start_g = F.greatest(F.col("pack_id") * 256, F.col("tok_before"))
+    end_g = F.least(
+        (F.col("pack_id") + 1) * 256, F.col("tok_before") + F.col("n_tokens")
+    )
+    return cov.select(
+        "doc_id", "source",
+        F.col("pack_id").cast("long").alias("pack_id"),
+        (start_g - F.col("tok_before")).cast("long").alias("slice_start"),
+        (end_g - start_g).cast("long").alias("slice_len"),
+        (start_g - F.col("pack_id") * 256).cast("long").alias("pack_offset"),
+    ).orderBy("source", "doc_id", "pack_id")
+
+
 def _synthetic_works(spark, sf):
     """Nested OPENALEX_WORKS-shaped rows synthesized deterministically from
     the orders table (shared by the x6 and a8 queries and their oracles)."""
@@ -2291,6 +2357,53 @@ def x11(spark, sf):
         old_keys, new_docs, id_col="doc_id", text_col="text",
         num_perm=64, bands=16, shingle_k=3, max_band_size=10_000,
     ).orderBy("left_id", "right_id")
+
+
+def _x12_oracle() -> str:
+    # delta == the full simhash pass restricted to pairs with >= 1 new
+    # endpoint (doc_id % 4 == 0). The pigeonhole block split is a COMPLETE
+    # candidate set for radius 3, so the operator's banded output equals a
+    # plain all-pairs hamming filter — which IS the independent recompute
+    # here (n=500 docs at the driver's sf0.01, so n^2 is cheap in DuckDB).
+    # Codes come from the exact x3 CTE chain (shared fragment: the two
+    # oracles can never desynchronize).
+    inner = _X3_ORACLE.replace("ORDER BY doc_id", "")
+    return f"""
+WITH codes AS ({inner})
+SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+       CAST(bit_count(xor(a.simhash64, b.simhash64)) AS BIGINT) AS hamming
+FROM codes a JOIN codes b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash64, b.simhash64)) <= 3
+  AND (a.doc_id % 4 = 0 OR b.doc_id % 4 = 0)
+ORDER BY left_id, right_id
+"""
+
+
+@_q("x12_delta_simhash_pairs", _x12_oracle())
+def x12(spark, sf):
+    # incremental simhash near-dup: the corpus is hashed ONCE (committed
+    # simhash_codes), each batch hashes only its own docs and the per-block
+    # joins are new x all — never old x old (dedup.delta_simhash_pairs).
+    # Completes driver-checkability for the third incremental dedup path
+    # (minhash=x11, candidate-join=x10, simhash=here).
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.operators.dedup import (
+        delta_simhash_pairs,
+        simhash_codes,
+    )
+
+    d = _t(spark, sf, "documents")
+    old_docs = d.where(F.col("doc_id") % 4 != 0)
+    new_docs = d.where(F.col("doc_id") % 4 == 0)
+    # in production old_codes is a committed table; built inline here so the
+    # oracle comparison is self-contained
+    old_codes = simhash_codes(old_docs, id_col="doc_id", text_col="text")
+    return (
+        delta_simhash_pairs(
+            old_codes, new_docs, id_col="doc_id", text_col="text", max_hamming=3
+        )
+        .select("left_id", "right_id", F.col("hamming").cast("long").alias("hamming"))
+        .orderBy("left_id", "right_id")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,95 @@
+"""t11 true sequence packing: coverage rows must tile every pack exactly.
+
+Invariants (the pretraining-packer contract):
+- per (stratum, pack): slices tile [0, PACK) gaplessly; every pack is
+  exactly PACK tokens except the last pack of each stratum;
+- per doc: its slices concatenate to [0, n_tokens) in order — nothing
+  dropped, nothing duplicated, splits contiguous across packs;
+- a doc longer than several packs fans out into the right number of rows.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+
+def _run_t11(spark, docs_rows):
+    """Run the registered t11 query over a synthetic documents table."""
+    import __spark_entry__ as entry
+
+    df = spark.createDataFrame(docs_rows, "doc_id long, source string, text string")
+    with tempfile.TemporaryDirectory() as td:
+        df.write.mode("overwrite").parquet(os.path.join(td, "documents.parquet"))
+        out = entry.queries()["t11_sequence_packing_slices"](spark, td)
+        return out.collect()
+
+
+def test_packing_tiles_every_pack_exactly(spark):
+    # 3 strata; stratum "a" includes one 700-token doc (spans >2 packs of
+    # 256) and enough 100-token docs to force many boundary splits
+    rows = []
+    did = 0
+    for s, sizes in {
+        "a": [100, 700, 30, 256, 1, 255, 100],
+        "b": [256, 256, 256],          # exact-fit docs: no splits at all
+        "c": [5],                      # single tiny doc, one partial pack
+    }.items():
+        for n in sizes:
+            rows.append((did, s, " ".join(f"w{i}" for i in range(n))))
+            did += 1
+    got = _run_t11(spark, rows)
+    PACK = 256
+    n_tok = {r[0]: len(r[2].split()) for r in rows}
+
+    # per-doc: slices reassemble [0, n_tokens) contiguously, pack ids and
+    # offsets advance consistently
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(n_tok)
+    for doc, rs in by_doc.items():
+        rs.sort(key=lambda r: r["pack_id"])
+        assert rs[0]["slice_start"] == 0
+        pos = 0
+        for r in rs:
+            assert r["slice_start"] == pos
+            assert r["slice_len"] >= 1
+            pos += r["slice_len"]
+        assert pos == n_tok[doc]
+        # interior rows of a multi-pack doc fill their whole pack
+        for r in rs[1:-1]:
+            assert r["pack_offset"] == 0 and r["slice_len"] == PACK
+        if len(rs) > 1:
+            assert rs[-1]["pack_offset"] == 0  # continuation starts the pack
+
+    # the 700-token doc spans ceil((off+700)/256) packs with off its offset
+    seven = [d for d, n in n_tok.items() if n == 700][0]
+    assert len(by_doc[seven]) >= 3
+
+    # per (stratum, pack): gapless tiling, exactly PACK except the last
+    packs = {}
+    for r in got:
+        packs.setdefault((r["source"], r["pack_id"]), []).append(r)
+    last_pack = {}
+    for (s, p) in packs:
+        last_pack[s] = max(last_pack.get(s, -1), p)
+    for (s, p), rs in packs.items():
+        rs.sort(key=lambda r: r["pack_offset"])
+        pos = 0
+        for r in rs:
+            assert r["pack_offset"] == pos, (s, p, rs)
+            pos += r["slice_len"]
+        if p < last_pack[s]:
+            assert pos == PACK, (s, p, pos)
+        else:
+            assert 1 <= pos <= PACK
+    # stratum packs are contiguous from 0
+    for s, lp in last_pack.items():
+        assert {p for (s2, p) in packs if s2 == s} == set(range(lp + 1))
+
+    # stratum totals: sum of slice lens == sum of token counts
+    for s in ("a", "b", "c"):
+        tot = sum(r["slice_len"] for r in got if r["source"] == s)
+        assert tot == sum(n for d, n in n_tok.items()
+                          if dict((r2[0], r2[1]) for r2 in rows)[d] == s)

@@ -2,11 +2,21 @@
 on Spark and its oracle_sql() on DuckDB over the same sf dir; compare row
 count, column names, and order-insensitive stringified values.
 
+A FULL sweep (no query names given) also writes ``PARITY_LOCAL.json`` at
+the repo root — the committed per-round artifact covering ALL registered
+queries, including the ones the driver's 50-query sample skips (r3 verdict:
+8 of 58 registered queries had no recorded green row anywhere). Fields per
+query mirror CORRECTNESS_r{N}.json, plus the git HEAD the sweep ran at.
+
 Usage: python tools/check_oracle_parity.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import datetime
+import json
+import os
+import subprocess
 import sys
 from decimal import Decimal
 
@@ -60,15 +70,24 @@ def main():
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = []
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        rec = {
+            "rows_match": None, "schema_match": None, "hash_match": None,
+            "spark_rows": None, "oracle_rows": None, "err": None,
+        }
+        results[name] = rec
         if name not in oracles:
             try:
                 df = fn(spark, sf_dir)
                 n = df.count()
+                rec.update(spark_rows=n, rows_match=n >= 0)
+                rec["rows_only"] = True
                 print(f"{name:32s} ROWS-ONLY ok ({n} rows)")
             except Exception as e:
+                rec["err"] = str(e)[:300]
                 print(f"{name:32s} ROWS-ONLY FAILED: {e}")
                 failures.append(name)
             continue
@@ -76,7 +95,9 @@ def main():
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            rec["spark_rows"] = len(srows)
         except Exception as e:
+            rec["err"] = "spark: " + str(e)[:300]
             print(f"{name:32s} SPARK FAILED: {str(e)[:200]}")
             failures.append(name)
             continue
@@ -89,19 +110,24 @@ def main():
             dcols = tbl.column_names
             dlists = [tbl.column(c).to_pylist() for c in dcols]
             drows = list(zip(*dlists)) if dcols else []
+            rec["oracle_rows"] = len(drows)
         except Exception as e:
+            rec["err"] = "duckdb: " + str(e)[:300]
             print(f"{name:32s} DUCKDB FAILED: {str(e)[:200]}")
             failures.append(name)
             continue
         ok = True
-        if sorted(scols) != sorted(dcols):
+        rec["schema_match"] = sorted(scols) == sorted(dcols)
+        rec["rows_match"] = len(srows) == len(drows)
+        if not rec["schema_match"]:
             print(f"{name:32s} SCHEMA MISMATCH spark={sorted(scols)} duck={sorted(dcols)}")
             ok = False
-        elif len(srows) != len(drows):
+        elif not rec["rows_match"]:
             print(f"{name:32s} COUNT MISMATCH spark={len(srows)} duck={len(drows)}")
             ok = False
         else:
             ms, md = rows_to_multiset(scols, srows), rows_to_multiset(dcols, drows)
+            rec["hash_match"] = ms == md
             if ms != md:
                 diffs = [(a, b) for a, b in zip(ms, md) if a != b][:3]
                 print(f"{name:32s} VALUE MISMATCH ({sum(1 for a, b in zip(ms, md) if a != b)} rows) e.g. {diffs}")
@@ -111,6 +137,32 @@ def main():
         else:
             failures.append(name)
     print("\nFAILURES:", failures if failures else "none")
+    if not only:
+        # full sweep -> committed artifact (driver samples only ~50 queries;
+        # this records a verdict for every registered one at a known HEAD)
+        try:
+            head = subprocess.run(
+                ["git", "rev-parse", "HEAD"], cwd="/root/repo",
+                capture_output=True, text=True,
+            ).stdout.strip()
+        except Exception:
+            head = "unknown"
+        payload = {
+            "_meta": {
+                "git_head": head,
+                "sf_dir": sf_dir,
+                "utc": datetime.datetime.now(datetime.timezone.utc).isoformat(
+                    timespec="seconds"
+                ),
+                "n_queries": len(results),
+                "n_failures": len(failures),
+            },
+            "queries": results,
+        }
+        out = os.path.join("/root/repo", "PARITY_LOCAL.json")
+        with open(out, "w") as f:
+            json.dump(payload, f, indent=1)
+        print(f"wrote {out} ({len(results)} queries at {head[:9]})")
     return 1 if failures else 0
 
 
