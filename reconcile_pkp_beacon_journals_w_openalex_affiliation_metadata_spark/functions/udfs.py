@@ -20,15 +20,88 @@ from pyspark.sql import types as T
 from . import hashing, kernels
 
 
+def _ascii_mask(filled: pd.Series):
+    """Vectorized pure-ASCII row mask (pyarrow C kernel, no per-row Python).
+
+    At corpus scale most rows are already ASCII, so the fold/normalize UDFs
+    split each Arrow batch on this mask: ASCII rows take a vectorized
+    pandas ``.str`` lane (the fold is the identity for them), and only the
+    non-ASCII remainder pays the per-string Python transliteration — the
+    same dispatch discipline as ``batch_kernels.dispatch_pairs``.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.Array.from_pandas(filled, type=pa.string())
+    return np.asarray(pc.string_is_ascii(arr).fill_null(False))
+
+
+# Python's re ``\s``, restricted to ASCII code points, is exactly
+# [ \t\n\x0b\x0c\r\x1c-\x1f] — spelled out so the RE2-backed pyarrow lane
+# (which would read ``\s`` as only [\t\n\f\r ]) matches the scalar kernel
+# bit-for-bit on the pure-ASCII rows it handles. Differential-tested.
+_RE2_NON_ALNUM = r"[^a-z0-9 \t\n\x0b\x0c\r\x1c-\x1f]"
+_RE2_WS_RUN = r"[ \t\n\x0b\x0c\r\x1c-\x1f]+"
+
+
+def _normalize_text_batch(s: pd.Series) -> pd.Series:
+    """Batch normalize_text: a pyarrow/RE2 vector lane for pure-ASCII rows.
+
+    ascii_fold is the identity on ASCII, so those rows reduce to lower +
+    drop-non-alnum + collapse-ws + trim — four pyarrow C kernels over the
+    whole batch, zero Python frames. (A pandas ``.str`` variant was tried
+    first and measured 0.9x — it still runs Python ``re`` per element; the
+    RE2 kernels are the actual win.) Only the non-ASCII remainder pays the
+    per-string Python transliteration. Bit-parity with the scalar kernel is
+    pytest-enforced, hypothesis included.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    filled = s.fillna("")
+    mask = _ascii_mask(filled)
+    if not mask.any():
+        return filled.map(kernels.normalize_text)
+
+    def _vec(series: pd.Series) -> pd.Series:
+        arr = pa.Array.from_pandas(series, type=pa.string())
+        arr = pc.utf8_lower(arr)
+        arr = pc.replace_substring_regex(arr, pattern=_RE2_NON_ALNUM, replacement="")
+        arr = pc.replace_substring_regex(arr, pattern=_RE2_WS_RUN, replacement=" ")
+        return pc.utf8_trim(arr, characters=" ").to_pandas()
+
+    if mask.all():
+        vals = _vec(filled)
+        vals.index = s.index
+        return vals
+    out = pd.Series(index=s.index, dtype=object)
+    out[mask] = _vec(filled[mask]).to_numpy()
+    rem = ~mask
+    out[rem] = filled[rem].map(kernels.normalize_text)
+    return out
+
+
 @F.pandas_udf(T.StringType())
 def norm_text_udf(s: pd.Series) -> pd.Series:
     """Reference normalize_text (check_landing_page...py:16-27)."""
-    return s.map(lambda x: kernels.normalize_text(x) if x is not None else "")
+    return _normalize_text_batch(s)
+
+
+def _ascii_fold_batch(s: pd.Series) -> pd.Series:
+    # ascii_fold is the identity on pure-ASCII rows: an all-ASCII batch
+    # returns as-is with zero per-row work. Mixed batches fall back to the
+    # scalar map — its own isascii() short-circuit already makes ASCII rows
+    # ~0.5us each, and a copy+masked-assign variant measured SLOWER.
+    notna = s.notna().to_numpy()
+    if (_ascii_mask(s.fillna("")) | ~notna).all():
+        return s
+    return s.map(lambda x: kernels.ascii_fold(x) if x is not None else None)
 
 
 @F.pandas_udf(T.StringType())
 def ascii_fold_udf(s: pd.Series) -> pd.Series:
-    return s.map(lambda x: kernels.ascii_fold(x) if x is not None else None)
+    return _ascii_fold_batch(s)
 
 
 @F.pandas_udf(T.DoubleType())

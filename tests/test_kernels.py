@@ -313,3 +313,65 @@ def test_sim_triple_rapidfuzz_path_parity():
         slow = kernels.sim_triple_py(a, b)
         for f, s in zip(fast, slow):
             assert abs(f - s) < 1e-9, (a, b, fast, slow)
+
+
+# --- batch ASCII fast-path parity (r3 verdict item 4) -----------------------
+
+_BATCH_SAMPLES = [
+    None, "", "  ", "\x0b\t mixed WS \x0c", "Plain ASCII Title 42!",
+    "Café au Lait", "Überstraße", "ΑΒΓ αβγ", "Москва",
+    "こんにちは世界", "中文标题", "ＦＵＬＬｗｉｄｔｈ", "a b…c",
+    "ASCII-only but [punct] & (stuff) 99%", "ガギグゲゴ voiced kana",
+]
+
+
+def test_normalize_batch_matches_scalar_on_samples():
+    import pandas as pd
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.functions import (
+        kernels as K,
+        udfs,
+    )
+
+    s = pd.Series(_BATCH_SAMPLES, dtype=object)
+    got = udfs._normalize_text_batch(s)
+    want = s.map(lambda x: K.normalize_text(x) if x is not None else "")
+    assert list(got) == list(want)
+    # all-ASCII batch takes the pure-vector lane; must still match
+    asc = pd.Series(["A b", "", "  x ", None, "Q!@# 9"], dtype=object)
+    assert list(udfs._normalize_text_batch(asc)) == list(
+        asc.map(lambda x: K.normalize_text(x) if x is not None else "")
+    )
+
+
+def test_ascii_fold_batch_matches_scalar_on_samples():
+    import pandas as pd
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.functions import (
+        kernels as K,
+        udfs,
+    )
+
+    s = pd.Series(_BATCH_SAMPLES, dtype=object)
+    got = udfs._ascii_fold_batch(s)
+    want = s.map(lambda x: K.ascii_fold(x) if x is not None else None)
+    assert list(got) == list(want)
+
+
+@given(st.lists(st.one_of(st.none(), st.text(max_size=40)), max_size=50))
+@settings(max_examples=200, deadline=None)
+def test_batch_lanes_differential_random(xs):
+    import pandas as pd
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.functions import (
+        kernels as K,
+        udfs,
+    )
+
+    s = pd.Series(xs, dtype=object)
+    assert list(udfs._normalize_text_batch(s)) == [
+        K.normalize_text(x) if x is not None else "" for x in xs
+    ]
+    assert list(udfs._ascii_fold_batch(s)) == [
+        K.ascii_fold(x) if x is not None else None for x in xs
+    ]
