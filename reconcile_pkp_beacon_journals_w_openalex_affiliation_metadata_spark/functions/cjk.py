@@ -18,10 +18,15 @@ Coverage and divergence policy (tested in test_kernels.py):
 - **Han**: the ``HAN_PINYIN`` table below covers the frequent range for this
   domain — the ~100 most common Chinese surnames plus high-frequency
   characters of institution/journal/place/given names (simplified and
-  traditional forms) — in unidecode's exact output format. Characters
-  outside the table are DROPPED (a documented divergence from unidecode,
-  which ships the full CJK range); heteronyms whose unidecode pick is
-  uncertain are deliberately excluded rather than guessed.
+  traditional forms) — in unidecode's exact output format, extended (r4)
+  with the ~250 characters that dominate RUNNING Chinese text, lifting
+  frequency-weighted agreement from ~34% to >= 95% (measured in
+  test_ascii_fold_han_frequency_weighted_agreement_rate; a gated
+  differential vs real unidecode runs wherever that library exists).
+  Characters outside the table are DROPPED (a documented divergence from
+  unidecode, which ships the full CJK range); heteronyms whose unidecode
+  pick is uncertain — 了 地 得 着 长 行 还 都 重 便 什 么 — are
+  deliberately excluded rather than guessed.
 """
 
 from __future__ import annotations
@@ -157,6 +162,62 @@ HAN_PINYIN: dict[str, str] = {c: p + " " for c, p in {
     "洪": "Hong", "胜": "Sheng", "勝": "Sheng", "利": "Li", "富": "Fu",
     "青": "Qing", "紫": "Zi",
 }.items()}
+
+# --- high-frequency running-text Han (r4 extension) -------------------------
+# The characters that dominate RUNNING Chinese text (function words, common
+# verbs/nouns — membership per the public corpus-frequency lists, ~top 250)
+# were outside the name/institution range above, capping frequency-weighted
+# agreement with unidecode at ~34%. Each entry below has ONE dominant
+# Mandarin syllable (chars whose readings differ only in tone are safe —
+# pinyin-to-ASCII drops tone). True cross-syllable heteronyms
+# (了 地 得 着 长 行 还 都 重 便 什 么) stay excluded per the policy above:
+# a wrong-syllable guess is worse than a documented drop.
+_HAN_RUNNING_TEXT: dict[str, str] = {
+    "是": "Shi", "不": "Bu", "我": "Wo", "在": "Zai", "有": "You",
+    "他": "Ta", "这": "Zhe", "來": "Lai", "来": "Lai", "个": "Ge",
+    "個": "Ge", "到": "Dao", "说": "Shuo", "說": "Shuo", "们": "Men",
+    "們": "Men", "你": "Ni", "道": "Dao", "也": "Ye", "时": "Shi",
+    "時": "Shi", "就": "Jiu", "要": "Yao", "下": "Xia", "以": "Yi",
+    "去": "Qu", "之": "Zhi", "过": "Guo", "過": "Guo", "家": "Jia",
+    "对": "Dui", "對": "Dui", "可": "Ke", "她": "Ta", "里": "Li",
+    "後": "Hou", "后": "Hou", "多": "Duo", "而": "Er", "好": "Hao",
+    "没": "Mei", "沒": "Mei", "起": "Qi", "事": "Shi", "作": "Zuo",
+    "当": "Dang", "當": "Dang", "想": "Xiang", "看": "Kan", "无": "Wu",
+    "無": "Wu", "开": "Kai", "開": "Kai", "手": "Shou", "主": "Zhu",
+    "又": "You", "如": "Ru", "前": "Qian", "见": "Jian", "見": "Jian",
+    "头": "Tou", "頭": "Tou", "面": "Mian", "公": "Gong", "同": "Tong",
+    "已": "Yi", "老": "Lao", "从": "Cong", "從": "Cong", "两": "Liang",
+    "兩": "Liang", "知": "Zhi", "样": "Yang", "樣": "Yang", "但": "Dan",
+    "身": "Shen", "些": "Xie", "意": "Yi", "进": "Jin", "進": "Jin",
+    "把": "Ba", "此": "Ci", "实": "Shi", "實": "Shi", "回": "Hui",
+    "点": "Dian", "點": "Dian", "其": "Qi", "声": "Sheng", "聲": "Sheng",
+    "全": "Quan", "己": "Ji", "话": "Hua", "話": "Hua", "儿": "Er",
+    "兒": "Er", "者": "Zhe", "情": "Qing", "部": "Bu", "名": "Ming",
+    "定": "Ding", "问": "Wen", "問": "Wen", "给": "Gei", "給": "Gei",
+    "等": "Deng", "很": "Hen", "最": "Zui", "间": "Jian", "間": "Jian",
+    "打": "Da", "位": "Wei", "因": "Yin", "被": "Bei", "走": "Zou",
+    "第": "Di", "门": "Men", "門": "Men", "次": "Ci", "使": "Shi",
+    "再": "Zai", "听": "Ting", "聽": "Ting", "世": "Shi", "气": "Qi",
+    "氣": "Qi", "少": "Shao", "关": "Guan", "關": "Guan", "并": "Bing",
+    "並": "Bing", "加": "Jia", "却": "Que", "卻": "Que", "产": "Chan",
+    "產": "Chan", "入": "Ru", "先": "Xian", "水": "Shui", "眼": "Yan",
+    "体": "Ti", "體": "Ti", "别": "Bie", "別": "Bie", "处": "Chu",
+    "處": "Chu", "总": "Zong", "總": "Zong", "才": "Cai", "场": "Chang",
+    "場": "Chang", "书": "Shu", "書": "Shu", "比": "Bi", "住": "Zhu",
+    "员": "Yuan", "員": "Yuan", "笑": "Xiao", "性": "Xing", "通": "Tong",
+    "目": "Mu", "立": "Li", "命": "Ming", "活": "Huo", "难": "Nan",
+    "難": "Nan", "神": "Shen", "件": "Jian", "表": "Biao", "车": "Che",
+    "車": "Che", "路": "Lu", "叫": "Jiao", "死": "Si", "常": "Chang",
+    "提": "Ti", "感": "Gan", "更": "Geng", "反": "Fan", "题": "Ti",
+    "題": "Ti", "必": "Bi", "该": "Gai", "該": "Gai", "交": "Jiao",
+    "果": "Guo", "几": "Ji", "幾": "Ji", "女": "Nu", "只": "Zhi",
+    "分": "Fen", "将": "Jiang", "將": "Jiang", "种": "Zhong",
+    "種": "Zhong", "相": "Xiang", "发": "Fa", "發": "Fa", "与": "Yu",
+    "與": "Yu", "的": "De", "为": "Wei", "為": "Wei", "那": "Na",
+}
+for _c, _p in _HAN_RUNNING_TEXT.items():
+    # curated name/institution entries stay authoritative on overlap
+    HAN_PINYIN.setdefault(_c, _p + " ")
 
 assert all(len(c) == 1 for c in HAN_PINYIN), "HAN_PINYIN keys must be single chars"
 
