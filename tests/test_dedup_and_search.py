@@ -294,3 +294,65 @@ def test_delta_simhash_pairs_equals_full_pass(spark, corpus_dfs):
     }
     assert got_delta == want_delta
     assert want_delta  # radius 6 on near-dup corpus: non-trivial delta
+
+
+def test_ivf_lloyd_refinement_recovers_probe_recall(spark):
+    """r3 verdict item 6: md5-seeded centroids follow data density, so a
+    large diffuse cluster soaks up most seeds and splits itself across many
+    cells — at n_probe=1 true neighbors fall outside the probed cell. Two
+    distributed Lloyd rounds move the quantizer toward k-means and recover
+    recall@10 (measured here: 0.80 -> 1.00 on this fixture). Targets have
+    slack for FP summation order in the distributed means."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    dim = 16
+    centers = rng.randn(8, dim) * 4
+    rows, vid = [], 0
+    for ci, c in enumerate(centers):
+        n = 500 if ci == 0 else 200
+        pts = c + rng.randn(n, dim) * (1.5 if ci == 0 else 0.4)
+        for p in pts:
+            rows.append((vid, [float(x) for x in p]))
+            vid += 1
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).cache()
+    qrows = [
+        (qi, [float(x) for x in centers[ci] + rng.randn(dim) * 0.4])
+        for qi, ci in enumerate(list(range(8)) * 2)
+    ]
+    qs = spark.createDataFrame(qrows, "q_id long, q_vec array<float>")
+    exact = sim.brute_force_topk(vecs, qs, k=10).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r["q_id"], set()).add(r["vec_id"])
+
+    def recall(refine_iters):
+        a, c = sim.build_ivf_index(vecs, n_cells=8, refine_iters=refine_iters)
+        got = sim.ivf_topk(a, c, qs, k=10, n_probe=1).collect()
+        byq = {}
+        for r in got:
+            byq.setdefault(r["q_id"], set()).add(r["vec_id"])
+        recs = [len(byq.get(q, set()) & t) / len(t) for q, t in truth.items()]
+        return sum(recs) / len(recs)
+
+    unrefined, refined = recall(0), recall(2)
+    vecs.unpersist()
+    assert unrefined <= 0.90  # the seed quantizer demonstrably loses recall
+    assert refined >= 0.95  # stated target: Lloyd-refined recall@10, n_probe=1
+    assert refined > unrefined
+
+
+def test_refine_ivf_centroids_keeps_empty_cells(spark):
+    """A centroid that captures no vectors must keep its previous position
+    (not collapse to NaN/zero)."""
+    vecs = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    far = [-1.0, 0.0, 0.0, 0.0]
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (1, far)]
+    out = sim.refine_ivf_centroids(vecs, cents, iters=1)
+    assert out[1] == (1, far)  # empty cell untouched
+    assert out[0][0] == 0 and abs(out[0][1][0] - 1.0) < 1e-12
