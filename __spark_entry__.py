@@ -2406,6 +2406,37 @@ def x12(spark, sf):
     )
 
 
+def _x13_oracle() -> str:
+    # delta == the full block-then-verify pass (the EXACT t8 oracle chain)
+    # restricted to pairs with >= 1 new endpoint (doc_id % 4 == 0)
+    return _t8_oracle().replace(
+        "WHERE jaccard >= 0.8 ORDER BY",
+        "WHERE jaccard >= 0.8 AND (left_id % 4 = 0 OR right_id % 4 = 0) ORDER BY",
+    )
+
+
+@_q("x13_delta_ngram_jaccard", _x13_oracle())
+def x13(spark, sf):
+    # incremental block-then-verify near-dup: candidates are the minhash
+    # delta (new banded, committed old bands reused, old x old never
+    # joined); the exact 3-gram Jaccard verify reads texts for candidate
+    # rows only — the 4th and last delta-family operator driver-checked.
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.operators.dedup import (
+        delta_ngram_jaccard_pairs,
+        minhash_band_keys,
+    )
+
+    d = _t(spark, sf, "documents")
+    old_docs = d.where(F.col("doc_id") % 4 != 0)
+    new_docs = d.where(F.col("doc_id") % 4 == 0)
+    old_keys = minhash_band_keys(old_docs, id_col="doc_id", text_col="text")
+    return delta_ngram_jaccard_pairs(
+        old_keys, old_docs, new_docs,
+        id_col="doc_id", text_col="text", threshold=0.8,
+        num_perm=64, bands=16, shingle_k=3, max_band_size=10_000,
+    ).orderBy("left_id", "right_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_Q)
 

@@ -292,6 +292,54 @@ def ngram_jaccard_dedup(
     return j.where(F.col("jaccard") >= threshold).select("left_id", "right_id", "jaccard")
 
 
+def delta_ngram_jaccard_pairs(
+    old_keys: DataFrame,
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Verified near-dup pairs with >= 1 NEW endpoint — the incremental
+    block-then-verify, completing the delta family (minhash / simhash /
+    candidate-join / ngram-jaccard).
+
+    Candidates come from ``delta_minhash_pairs`` (only the new batch runs
+    the banding UDF; ``old_keys`` is the committed ``minhash_band_keys``
+    table; old x old is never joined), and the exact character-3-gram
+    Jaccard verify then reads text for CANDIDATE rows only — at 100 TB the
+    verify cost is O(delta candidates), not O(corpus). Old texts are
+    touched exclusively through the candidate join (columnar scan of id +
+    text, pushed down). Equivalence: ``ngram_jaccard_dedup(old + new)``
+    restricted to new-endpoint pairs == this, away from cap boundaries
+    (same caveat as the other deltas).
+    """
+    cand = delta_minhash_pairs(
+        old_keys, new_docs, id_col=id_col, text_col=text_col, **lsh_kwargs
+    )
+    texts = (
+        old_docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
+        .unionByName(
+            new_docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
+        )
+    )
+    j = (
+        cand.join(
+            texts.withColumnRenamed("id", "left_id").withColumnRenamed("txt", "lt"),
+            "left_id",
+        )
+        .join(
+            texts.withColumnRenamed("id", "right_id").withColumnRenamed("txt", "rt"),
+            "right_id",
+        )
+        .withColumn("jaccard", F.round(_ngram_jaccard_udf(F.col("lt"), F.col("rt")), 4))
+    )
+    return j.where(F.col("jaccard") >= threshold).select(
+        "left_id", "right_id", "jaccard"
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     dim: int,

@@ -356,3 +356,40 @@ def test_refine_ivf_centroids_keeps_empty_cells(spark):
     out = sim.refine_ivf_centroids(vecs, cents, iters=1)
     assert out[1] == (1, far)  # empty cell untouched
     assert out[0][0] == 0 and abs(out[0][1][0] - 1.0) < 1e-12
+
+
+def test_delta_ngram_jaccard_equals_full_pass(spark, corpus_dfs):
+    """Incremental block-then-verify: the delta's verified pairs equal the
+    full ngram_jaccard_dedup restricted to new-endpoint pairs, jaccard
+    values included; old x old is never joined."""
+    from pyspark.sql import functions as F
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.operators import (
+        dedup,
+    )
+
+    docs = corpus_dfs["documents"].select(
+        "doc_id", F.concat_ws(" ", F.transform("spans", lambda s: s["text"])).alias("text")
+    )
+    h = F.pmod(F.xxhash64("doc_id"), F.lit(4))
+    old_docs, new_docs = docs.where(h != 0), docs.where(h == 0)
+
+    thr = 0.5  # low threshold so the fixture yields a non-trivial pair set
+    full = {
+        (r["left_id"], r["right_id"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_dedup(docs, threshold=thr).collect()
+    }
+    old_ids = {r["doc_id"] for r in old_docs.select("doc_id").collect()}
+    full_new_endpoint = {
+        k: v for k, v in full.items() if k[0] not in old_ids or k[1] not in old_ids
+    }
+    old_keys = dedup.minhash_band_keys(old_docs)
+    delta = {
+        (r["left_id"], r["right_id"]): r["jaccard"]
+        for r in dedup.delta_ngram_jaccard_pairs(
+            old_keys, old_docs, new_docs, threshold=thr
+        ).collect()
+    }
+    assert delta == full_new_endpoint
+    assert delta  # non-vacuous
+    assert all(l not in old_ids or r not in old_ids for l, r in delta)
