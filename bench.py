@@ -44,6 +44,10 @@ HEADLINE = [
     "x2_minhash_lsh_pairs",
     "x4_ann_lsh_topk",
     "x9_ann_ivf_topk",
+    # r4 entries: chunk-splitting sequence packing (window + explode, all
+    # native) and the incremental block-then-verify near-dup
+    "t11_sequence_packing_slices",
+    "x13_delta_ngram_jaccard",
 ]
 
 
