@@ -2437,6 +2437,78 @@ def x13(spark, sf):
     ).orderBy("left_id", "right_id")
 
 
+def _t12_oracle() -> str:
+    # the x2 candidate CTE chain -> transitive-closure CC (the j5 oracle
+    # pattern, numeric nodes) -> per-cluster roll-up
+    return f"""
+WITH RECURSIVE
+{_lsh_candidate_ctes(10_000)},
+und AS (
+  SELECT left_id AS u, right_id AS v FROM cand
+  UNION SELECT right_id, left_id FROM cand
+),
+reach(node, r) AS (
+  SELECT u, v FROM und UNION SELECT u, u FROM und
+  UNION
+  SELECT reach.node, und.v FROM reach JOIN und ON reach.r = und.u
+),
+assign AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+SELECT cluster_id AS keeper,
+       CAST(count(*) AS BIGINT) AS n_members,
+       list(node ORDER BY node) AS members
+FROM assign GROUP BY cluster_id ORDER BY keeper
+"""
+
+
+@_q("t12_near_dup_groups", _t12_oracle())
+def t12(spark, sf):
+    # near-dup CLUSTERS with a canonical keeper — the dedup deliverable a
+    # training pipeline actually consumes (keep one doc per group): LSH
+    # pairs -> alternating-star CC -> roll-up, all via production operators
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.operators.dedup import (
+        near_dup_groups,
+    )
+
+    d = _t(spark, sf, "documents")
+    return near_dup_groups(
+        d, id_col="doc_id", text_col="text",
+        num_perm=64, bands=16, shingle_k=3, max_band_size=10_000,
+    ).orderBy("keeper")
+
+
+def _x14_oracle() -> str:
+    # verify-free estimate recomputed from the SAME mins CTE the band keys
+    # come from: est = (#equal minhash slots)/64 — small-int division by a
+    # power of two, exact binary on both engines
+    return f"""
+WITH {_lsh_candidate_ctes(10_000)}
+SELECT c.left_id, c.right_id,
+       CAST(sum(CASE WHEN ma.mv = mb.mv THEN 1 ELSE 0 END) AS DOUBLE) / 64
+         AS jaccard_est
+FROM cand c
+JOIN mins ma ON ma.doc_id = c.left_id
+JOIN mins mb ON mb.doc_id = c.right_id AND mb.perm_id = ma.perm_id
+GROUP BY c.left_id, c.right_id
+ORDER BY left_id, right_id
+"""
+
+
+@_q("x14_minhash_jaccard_estimate", _x14_oracle())
+def x14(spark, sf):
+    # signature-based Jaccard estimate for LSH candidates: no text reads,
+    # just a zip_with over the two signature arrays (the cheap middle tier
+    # between raw candidates and the exact t8 n-gram verify)
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.operators.dedup import (
+        minhash_jaccard_estimates,
+    )
+
+    d = _t(spark, sf, "documents")
+    return minhash_jaccard_estimates(
+        d, id_col="doc_id", text_col="text",
+        num_perm=64, bands=16, shingle_k=3, max_band_size=10_000,
+    ).orderBy("left_id", "right_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_Q)
 

@@ -256,6 +256,30 @@ def make_minhash_bands_udf(
     return _udf
 
 
+def make_minhash_signature_udf(num_perm: int = 64, shingle_k: int = 3, seed: int = 42):
+    """Full minhash SIGNATURE (array of num_perm 32-bit values) over
+    normalized text — the committed representation that enables verify-free
+    Jaccard estimates (``dedup.minhash_jaccard_estimates``): est = fraction
+    of equal slots. Same shingling/perms as ``make_minhash_bands_udf``, so
+    bands and signatures derived from one committed table never disagree.
+    Token-less docs get the all-sentinel signature (they emit no bands, so
+    no candidate pair ever reads it)."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _udf(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda t: [
+                int(v)
+                for v in hashing.minhash_signature(
+                    hashing.shingles(t or "", k=shingle_k),
+                    num_perm=num_perm, seed=seed,
+                )
+            ]
+        )
+
+    return _udf
+
+
 @F.pandas_udf(T.ArrayType(T.StringType()))
 def norm_nonempty_array_udf(arr: pd.Series) -> pd.Series:
     """[norm(x) for x in arr if x], then drop empties — the affiliation

@@ -292,6 +292,85 @@ def ngram_jaccard_dedup(
     return j.where(F.col("jaccard") >= threshold).select("left_id", "right_id", "jaccard")
 
 
+def minhash_jaccard_estimates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    max_band_size: int = 10_000,
+) -> DataFrame:
+    """LSH candidate pairs + VERIFY-FREE Jaccard estimate from signatures.
+
+    est = (#equal signature slots) / num_perm — the standard MinHash
+    estimator of word-shingle Jaccard (std err <= 1/(2*sqrt(num_perm))).
+    At 100 TB this is the cheap middle tier between raw candidates and the
+    exact n-gram verify: thresholding on the estimate costs a zip_with over
+    two already-committed arrays, no text reads at all. The division by
+    num_perm (a power of two) is exact binary, so the DuckDB oracle is
+    bit-identical.
+    """
+    cand = minhash_lsh_pairs(
+        df, id_col, text_col,
+        num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+        max_band_size=max_band_size,
+    )
+    from ..functions.udfs import make_minhash_signature_udf
+
+    sig_udf = make_minhash_signature_udf(num_perm=num_perm, shingle_k=shingle_k)
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    sigs = df.select(F.col(id_col).alias("id"), sig_udf(norm).alias("sig"))
+    j = (
+        cand.join(
+            sigs.select(F.col("id").alias("left_id"), F.col("sig").alias("sl")),
+            "left_id",
+        )
+        .join(
+            sigs.select(F.col("id").alias("right_id"), F.col("sig").alias("sr")),
+            "right_id",
+        )
+    )
+    matches = F.aggregate(
+        F.zip_with("sl", "sr", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0), lambda acc, x: acc + x,
+    )
+    return j.select(
+        "left_id", "right_id",
+        (matches.cast("double") / F.lit(float(num_perm))).alias("jaccard_est"),
+    )
+
+
+def near_dup_groups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **lsh_kwargs,
+) -> DataFrame:
+    """Near-dup CLUSTERS with a canonical keeper — the training-data dedup
+    deliverable (keep one doc per group, drop the rest).
+
+    minhash_lsh_pairs edges -> alternating-star connected components ->
+    per-cluster roll-up: keeper = min doc id (== the CC cluster_id
+    invariant), member count, sorted member list. Docs in no pair are
+    implicitly kept (absent from the output). One banding pass + the
+    O(log n)-round CC — no additional shuffles beyond the group-by.
+    """
+    from .cluster import connected_components
+
+    pairs = minhash_lsh_pairs(df, id_col, text_col, **lsh_kwargs)
+    edges = pairs.select(F.col("left_id").alias("u"), F.col("right_id").alias("v"))
+    cc = connected_components(edges)
+    return cc.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.sort_array(F.collect_list("node")).alias("members"),
+    ).select(
+        F.col("cluster_id").alias("keeper"),
+        F.col("n_members").cast("long").alias("n_members"),
+        "members",
+    )
+
+
 def delta_ngram_jaccard_pairs(
     old_keys: DataFrame,
     old_docs: DataFrame,

@@ -393,3 +393,56 @@ def test_delta_ngram_jaccard_equals_full_pass(spark, corpus_dfs):
     assert delta == full_new_endpoint
     assert delta  # non-vacuous
     assert all(l not in old_ids or r not in old_ids for l, r in delta)
+
+
+def test_minhash_jaccard_estimate_accuracy(spark):
+    """The signature estimator must be exact for identical docs and within
+    the 64-perm statistical band (5 sigma ~= 0.31) of the true word-shingle
+    Jaccard for every candidate pair."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.functions.hashing import (
+        shingles,
+    )
+
+    base = "regional studies in applied fish biology volume nine"
+    texts = {
+        1: base, 2: base,                        # identical -> est 1.0
+        3: base + " extra tail words here",      # high overlap
+        4: "completely different topic entirely unrelated content words",
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        (r["left_id"], r["right_id"]): r["jaccard_est"]
+        for r in dedup.minhash_jaccard_estimates(df).collect()
+    }
+    assert got[(1, 2)] == 1.0
+    for (l, r), est in got.items():
+        a = set(shingles(" ".join(texts[l].lower().split())))
+        b = set(shingles(" ".join(texts[r].lower().split())))
+        true_j = len(a & b) / len(a | b)
+        assert abs(est - true_j) <= 0.31, ((l, r), est, true_j)
+        assert est * 64 == int(est * 64)  # exact k/64 rational
+
+
+def test_near_dup_groups_keeper_and_members(spark):
+    """Groups = CC over LSH pairs; keeper is the min doc id; transitively
+    linked near-dups land in ONE group even when the endpoints never share
+    a band directly."""
+    a = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (10, a), (11, a),                       # exact pair
+        (12, a + " tonight"),                   # near of 10/11
+        (30, "an entirely different document about spark physical plans"),
+        (31, "an entirely different document about spark physical plans"),
+        (50, "singleton with totally unique content and no duplicate"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    groups = {
+        r["keeper"]: (r["n_members"], list(r["members"]))
+        for r in dedup.near_dup_groups(df).collect()
+    }
+    assert set(groups) == {10, 30}
+    n10, m10 = groups[10]
+    assert n10 == len(m10) == 3 and m10 == [10, 11, 12]
+    assert groups[30] == (2, [30, 31])  # singleton 50 absent (kept implicitly)
