@@ -895,7 +895,7 @@ def sim_jw(spark, sf):
 )
 def t1(spark, sf):
     d = _t(spark, sf, "documents").where(F.length("text") > 0)
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    toks = F.split(F.trim(F.col("text")), "[ \t\n\f\r]+")
     n_tokens = F.size(toks)
     return d.select(
         "doc_id",
@@ -925,7 +925,7 @@ def t1(spark, sf):
 )
 def t2(spark, sf):
     d = _t(spark, sf, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    toks = F.split(F.trim(F.col("text")), "[ \t\n\f\r]+")
     hits = lambda *ws: F.size(F.filter(toks, lambda x: x.isin(*ws)))  # noqa: E731
     d = d.select(
         "doc_id",
@@ -953,8 +953,8 @@ def t3(spark, sf):
     d = _t(spark, sf, "documents")
     return d.select(
         "doc_id",
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("ws_tokens"),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+        F.size(F.split(F.trim(F.col("text")), "[ \t\n\f\r]+")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]"), 0))
         .alias("bpe_ish_tokens"),
     ).orderBy("doc_id")
 
@@ -968,7 +968,7 @@ def t4(spark, sf):
     d = _t(spark, sf, "documents")
     return d.select(
         "doc_id",
-        F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")).alias("fp"),
+        F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), "[ \t\n\f\r]+", " ")).alias("fp"),
     ).orderBy("doc_id")
 
 
@@ -1090,7 +1090,7 @@ def w2b(spark, sf):
     )
 
     d = _t(spark, sf, "documents")
-    toks = F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 8)
+    toks = F.slice(F.split(F.trim(F.col("text")), "[ \t\n\f\r]+"), 1, 8)
     spans = F.transform(
         toks,
         lambda x, i: F.struct(
@@ -1240,7 +1240,7 @@ recs AS (
            || ':D' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS id,
          trim(regexp_replace(regexp_replace(
            lower(array_to_string(list_slice(string_split(text, ' '), 1, 6), ' ')),
-           '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS norm_title,
+           '[^a-z0-9 \t\n\x0b\f\r\x1c-\x1f]', '', 'g'), '[ \t\n\x0b\f\r\x1c-\x1f]+', ' ', 'g')) AS norm_title,
          CAST(NULL AS VARCHAR) AS norm_issn,
          'journals.' || lower(source) || '.example.org' AS domain,
          upper(lang) AS country
@@ -1932,7 +1932,7 @@ def t10(spark, sf):
     from pyspark.sql import Window
 
     d = _t(spark, sf, "documents")
-    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    n_tok = F.size(F.split(F.trim(F.col("text")), "[ \t\n\f\r]+")).cast("long")
     w = Window.partitionBy("source").orderBy("doc_id")
     toks = d.select("doc_id", "source", n_tok.alias("n_tokens"))
     packed = toks.withColumn(
@@ -1989,7 +1989,7 @@ def t11(spark, sf):
     from pyspark.sql import Window
 
     d = _t(spark, sf, "documents")
-    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    n_tok = F.size(F.split(F.trim(F.col("text")), "[ \t\n\f\r]+")).cast("long")
     w = Window.partitionBy("source").orderBy("doc_id")
     toks = d.select("doc_id", "source", n_tok.alias("n_tokens"))
     packed = toks.withColumn(

@@ -19,10 +19,13 @@ Coverage and divergence policy (tested in test_kernels.py):
   domain — the ~100 most common Chinese surnames plus high-frequency
   characters of institution/journal/place/given names (simplified and
   traditional forms) — in unidecode's exact output format, extended (r4)
-  with the ~250 characters that dominate RUNNING Chinese text, lifting
-  frequency-weighted agreement from ~34% to >= 95% (measured in
-  test_ascii_fold_han_frequency_weighted_agreement_rate; a gated
-  differential vs real unidecode runs wherever that library exists).
+  with the ~250 characters that dominate RUNNING Chinese text. Measured
+  coverage: >= 95% of the top-250 corpus-frequency character SET folds to
+  non-empty pinyin (unweighted over that set — the 12 excluded heteronyms
+  include very-high-rank characters like 了/的-neighbours, so a
+  token-frequency-weighted rate would be lower; the coverage test states
+  exactly what is measured, and a gated differential vs real unidecode
+  runs wherever that library exists).
   Characters outside the table are DROPPED (a documented divergence from
   unidecode, which ships the full CJK range); heteronyms whose unidecode
   pick is uncertain — 了 地 得 着 长 行 还 都 重 便 什 么 — are

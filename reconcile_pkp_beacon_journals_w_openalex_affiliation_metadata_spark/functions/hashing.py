@@ -17,10 +17,12 @@ import re
 import numpy as np
 
 # ASCII-only whitespace split: Python's str.split() treats Unicode
-# whitespace (NBSP, thin space, ...) as separators, but Spark/Java and
-# DuckDB/RE2 '\\s' are ASCII-only — tokenizing identically on all three
-# engines is what keeps the SQL oracles byte-exact on non-ASCII input.
-_ASCII_WS = re.compile(r"\s+", re.ASCII)
+# whitespace (NBSP, thin space, ...) as separators. The class is the
+# EXACT RE2 '\s' set ([\t\n\f\r ]) spelled out: Python re.ASCII '\s' and
+# Java '\s' additionally match \x0b, so only the explicit class keeps
+# Python tokenization, Spark-native splits, and the DuckDB oracles
+# byte-exact on control characters too.
+_ASCII_WS = re.compile(r"[ \t\n\f\r]+")
 
 
 def ascii_split(text: str) -> list[str]:

@@ -22,10 +22,23 @@ from pyspark.sql import types as T
 
 from ..functions.udfs import make_minhash_bands_udf, simhash_udf
 
+# RE2-exact ASCII whitespace run ('\s' under RE2 is exactly [\t\n\f\r ]).
+# Spelled out so Spark's Java regex engine matches the DuckDB oracles
+# byte-for-byte (Java '\s' would additionally collapse \x0b); ONE shared
+# definition so bands, signatures, and exact-dup keys can never
+# desynchronize on normalization.
+_WS_RUN = "[ \t\n\f\r]+"
+
+
+def _norm_ws_expr(text_col: str):
+    """lower + trim + collapse-whitespace — the shared normalization every
+    dedup strategy keys on (and the oracles' ``norm`` CTE replicates)."""
+    return F.regexp_replace(F.lower(F.trim(F.col(text_col))), _WS_RUN, " ")
+
 
 def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Groups of exact duplicates on normalized text; keeper = min id."""
-    key = F.md5(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "))
+    key = F.md5(_norm_ws_expr(text_col))
     return (
         df.select(F.col(id_col).alias("id"), key.alias("content_key"))
         .groupBy("content_key")
@@ -46,7 +59,7 @@ def minhash_band_keys(
     """(id, band) LSH key rows — map-only; commit this once per corpus and
     the incremental path (``delta_minhash_pairs``) never re-bands old docs."""
     bands_udf = make_minhash_bands_udf(num_perm=num_perm, bands=bands, shingle_k=shingle_k)
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    norm = _norm_ws_expr(text_col)
     return df.select(
         F.col(id_col).alias("id"), F.explode(bands_udf(norm)).alias("band")
     )
@@ -319,8 +332,12 @@ def minhash_jaccard_estimates(
     from ..functions.udfs import make_minhash_signature_udf
 
     sig_udf = make_minhash_signature_udf(num_perm=num_perm, shingle_k=shingle_k)
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    sigs = df.select(F.col(id_col).alias("id"), sig_udf(norm).alias("sig"))
+    # persist: the signature UDF feeds BOTH sides of the candidate join —
+    # without a materialization each side re-runs it over the full corpus
+    # (the same multi-consumer 2x-wall lesson as minhash_lsh_pairs)
+    sigs = df.select(
+        F.col(id_col).alias("id"), sig_udf(_norm_ws_expr(text_col)).alias("sig")
+    ).persist()
     j = (
         cand.join(
             sigs.select(F.col("id").alias("left_id"), F.col("sig").alias("sl")),

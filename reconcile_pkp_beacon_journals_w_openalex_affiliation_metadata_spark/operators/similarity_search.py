@@ -112,7 +112,16 @@ def refine_ivf_centroids(
     cur = centroids
     for _ in range(iters):
         pick1 = _nearest_cells_udf(cur, 1, decimals=assign_decimals)
-        assigned = vectors.select(F.col(vec_col).alias("v")).withColumn(
+        # spherical k-means update: assignment is by COSINE, so the centroid
+        # update must average UNIT vectors — a raw mean would let one
+        # large-magnitude member swing the whole cell's direction (direction
+        # is all that matters; _nearest_cells_udf re-normalizes centroids)
+        unit = F.transform(
+            F.col(vec_col),
+            lambda x: x.cast("double")
+            / F.greatest(_norm(F.col(vec_col)), F.lit(1e-300)),
+        )
+        assigned = vectors.select(unit.alias("v")).withColumn(
             "cell", pick1(F.col("v"))[0]
         )
         rows = (

@@ -298,10 +298,12 @@ _HAN_HETERONYM_EXCLUSIONS = set("了地得着长行还都重便什么")
 
 
 def test_ascii_fold_han_frequency_weighted_agreement_rate():
-    """STATED RATE (r3 verdict item 5): over the ~250 most frequent
-    running-text Han characters, ascii_fold emits non-empty unidecode-format
-    pinyin for >= 95% — every miss is one of the 12 documented heteronym
-    exclusions, not an un-triaged gap."""
+    """STATED RATE (r3 verdict item 5): of the ~250 most frequent
+    running-text Han characters (an UNWEIGHTED rate over that top-frequency
+    SET — not token-weighted: the 12 excluded heteronyms are high-rank, so
+    a token-weighted rate would be lower), ascii_fold emits non-empty
+    unidecode-format pinyin for >= 95%, and every miss is one of the 12
+    documented heteronym exclusions, not an un-triaged gap."""
     covered = [c for c in _HAN_FREQ_TOP if kernels.ascii_fold(c)]
     missing = [c for c in _HAN_FREQ_TOP if not kernels.ascii_fold(c)]
     rate = len(covered) / len(_HAN_FREQ_TOP)

@@ -80,12 +80,14 @@ def main():
         }
         results[name] = rec
         if name not in oracles:
+            # no oracle -> nothing was COMPARED: rows_match stays null so a
+            # consumer scanning the artifact for green rows can never count
+            # a rows-only run as verified parity
+            rec["rows_only"] = True
             try:
                 df = fn(spark, sf_dir)
-                n = df.count()
-                rec.update(spark_rows=n, rows_match=n >= 0)
-                rec["rows_only"] = True
-                print(f"{name:32s} ROWS-ONLY ok ({n} rows)")
+                rec["spark_rows"] = df.count()
+                print(f"{name:32s} ROWS-ONLY ok ({rec['spark_rows']} rows)")
             except Exception as e:
                 rec["err"] = str(e)[:300]
                 print(f"{name:32s} ROWS-ONLY FAILED: {e}")
