@@ -16,7 +16,7 @@ band self-join), hot band keys capped.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -362,6 +362,7 @@ def near_dup_groups(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    members_cap: int = 10_000,
     **lsh_kwargs,
 ) -> DataFrame:
     """Near-dup CLUSTERS with a canonical keeper — the training-data dedup
@@ -370,17 +371,27 @@ def near_dup_groups(
     minhash_lsh_pairs edges -> alternating-star connected components ->
     per-cluster roll-up: keeper = min doc id (== the CC cluster_id
     invariant), member count, sorted member list. Docs in no pair are
-    implicitly kept (absent from the output). One banding pass + the
-    O(log n)-round CC — no additional shuffles beyond the group-by.
+    implicitly kept (absent from the output).
+
+    ``members_cap`` bounds the materialized member LIST per cluster (the
+    smallest ``members_cap`` ids; ``n_members`` always reports the true
+    size): a degenerate boilerplate cluster with millions of members would
+    otherwise buffer one giant array on a single task. The cap filter is a
+    window over cluster_id — the same key the roll-up groups on, so it adds
+    no extra shuffle beyond the group-by's own Exchange.
     """
     from .cluster import connected_components
 
     pairs = minhash_lsh_pairs(df, id_col, text_col, **lsh_kwargs)
     edges = pairs.select(F.col("left_id").alias("u"), F.col("right_id").alias("v"))
     cc = connected_components(edges)
-    return cc.groupBy("cluster_id").agg(
+    w = Window.partitionBy("cluster_id").orderBy("node")
+    capped = cc.withColumn("rn", F.row_number().over(w))
+    return capped.groupBy("cluster_id").agg(
         F.count("*").alias("n_members"),
-        F.sort_array(F.collect_list("node")).alias("members"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("rn") <= members_cap, F.col("node")))
+        ).alias("members"),
     ).select(
         F.col("cluster_id").alias("keeper"),
         F.col("n_members").cast("long").alias("n_members"),

@@ -333,6 +333,22 @@ class Catalog:
                 for c in spark.catalog.listColumns(self._table_ident(name))
                 if c.isPartition
             ] or None
+            if bucket_by is None:
+                # bucket layout must survive compaction too (losing it would
+                # silently re-introduce the shuffle the table was bucketed
+                # to avoid); DESCRIBE FORMATTED carries the spec
+                desc = {
+                    r["col_name"]: r["data_type"]
+                    for r in spark.sql(
+                        f"DESCRIBE FORMATTED {self._table_ident(name)}"
+                    ).collect()
+                }
+                if desc.get("Num Buckets"):
+                    cols = [
+                        c.strip().strip("`")
+                        for c in desc["Bucket Columns"].strip("[]").split(",")
+                    ]
+                    bucket_by = (cols, int(desc["Num Buckets"]))
         pinned = df.coalesce(target_partitions).localCheckpoint()
         self.write_committed(
             pinned, name,

@@ -284,3 +284,29 @@ def test_stale_staging_dirs_swept_on_next_write(spark, tmp_path):
     )
     assert list(tdir.glob("_staging_*")) == []
     assert cat.read_committed(spark, "t").count() == 12
+
+
+def test_compact_preserves_bucket_spec(spark, tmp_path):
+    """Compacting a bucketed table (no explicit bucket_by) must republish it
+    with the SAME bucket spec — otherwise the zero-Exchange join layout the
+    table was bucketed for silently disappears."""
+    cat = Catalog(str(tmp_path / "cbk"), backend="table")
+    df = spark.range(0, 300).repartition(8).selectExpr(
+        "cast(id as string) as doc_id", "id * 3 as v"
+    )
+    cat.write_committed(df, "t", bucket_by=(["doc_id"], 4))
+    before = sorted(
+        (r["doc_id"], r["v"]) for r in cat.read_committed(spark, "t").collect()
+    )
+    cat.compact(spark, "t", 1)
+    desc = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql(f"DESCRIBE FORMATTED {cat._table_ident('t')}").collect()
+    }
+    assert desc.get("Num Buckets") == "4"
+    assert "doc_id" in desc.get("Bucket Columns", "")
+    after = sorted(
+        (r["doc_id"], r["v"]) for r in cat.read_committed(spark, "t").collect()
+    )
+    assert before == after
+    cat.drop("t", spark)

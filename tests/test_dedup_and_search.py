@@ -446,3 +446,24 @@ def test_near_dup_groups_keeper_and_members(spark):
     n10, m10 = groups[10]
     assert n10 == len(m10) == 3 and m10 == [10, 11, 12]
     assert groups[30] == (2, [30, 31])  # singleton 50 absent (kept implicitly)
+
+
+def test_near_dup_groups_members_cap_and_empty_corpus(spark):
+    """members_cap bounds the materialized list (smallest ids kept) while
+    n_members reports the true size; a corpus with no near-dups yields no
+    groups at all."""
+    a = "shared boilerplate text repeated across many documents verbatim"
+    df = spark.createDataFrame(
+        [(i, a) for i in range(8)], "doc_id long, text string"
+    )
+    got = dedup.near_dup_groups(df, members_cap=3).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["keeper"], r["n_members"], list(r["members"])) == (0, 8, [0, 1, 2])
+
+    uniq = spark.createDataFrame(
+        [(i, f"totally unique content number {i} with distinct words {i*7}")
+         for i in range(6)],
+        "doc_id long, text string",
+    )
+    assert dedup.near_dup_groups(uniq).count() == 0

@@ -263,3 +263,61 @@ def test_sessionize_fold_sorts_across_chunks():
     closed2, open2 = _fold_group(7, [c3], open_state, gap_us)
     assert closed2 == []
     assert open2 == (base + 3600_000_000, base + 3661_000_000, 3)
+
+
+def test_sessionize_stream_event_time_timeout_flushes_open_sessions(spark, tmp_path):
+    """timeout='event_time': an OPEN session must flush once the watermark
+    passes last_seen + gap, WITHOUT any closing event from that user — the
+    path the no-timeout tests never exercise. User 10 goes quiet after two
+    events; user 20 keeps emitting, advancing the watermark past 10's
+    gap boundary, which must emit 10's session while 20's stays open."""
+    import json
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.streaming.sessionize import (
+        sessionize_stream,
+    )
+
+    base = 1_700_000_000
+    ev = {
+        # batch 1: both users active
+        "a.json": [(10, base + 0), (10, base + 60), (20, base + 10)],
+        # batch 2: ONLY user 20 — its event time pushes the watermark far
+        # past 10's last_seen + gap (1800 s), so 10's session times out
+        "b.json": [(20, base + 10_000)],
+        # batch 3: another 20-only tick so the timeout fires in a trigger
+        # AFTER the watermark has advanced (watermark updates post-batch)
+        "c.json": [(20, base + 10_060)],
+    }
+    src = tmp_path / "in_et"
+    src.mkdir()
+    for name, rows in ev.items():
+        (src / name).write_text(
+            "\n".join(json.dumps({"user_id": u, "ts": t}) for u, t in rows)
+        )
+
+    stream = (
+        spark.readStream.schema("user_id long, ts long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .select("user_id", F.timestamp_seconds(F.col("ts")).alias("ts"))
+        .withWatermark("ts", "0 seconds")
+    )
+    q = (
+        sessionize_stream(stream, gap_s=1800, timeout="event_time")
+        .writeStream.format("memory").queryName("sess_et")
+        .option("checkpointLocation", str(tmp_path / "ckpt_et"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start_us // 1_000_000,
+         r.session_end_us // 1_000_000, r.n_events)
+        for r in spark.sql("SELECT * FROM sess_et").collect()
+    }
+    # user 10's open session flushed by the watermark alone; user 20's two
+    # sessions: the first closed by its own 10_000-gap event, the trailing
+    # one still open (absent — never flushed, watermark never passes it)
+    assert got == {
+        (10, base + 0, base + 60, 2),
+        (20, base + 10, base + 10, 1),
+    }
