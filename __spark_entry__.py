@@ -2509,6 +2509,49 @@ def x14(spark, sf):
     ).orderBy("left_id", "right_id")
 
 
+def _x15_oracle() -> str:
+    # same full-IVF recompute as x9, with centroids picked from the OLD
+    # subset only (vec_id % 3 != 0) — ivf_insert assigns the new batch
+    # against those FIXED centroids, so a full recompute with old-subset
+    # centroids is the exact oracle for build(old) + insert(new) + query
+    return _x9_oracle().replace(
+        """  FROM embeddings WHERE vec_id >= 8
+  QUALIFY row_number()""",
+        """  FROM embeddings WHERE vec_id >= 8 AND vec_id % 3 <> 0
+  QUALIFY row_number()""",
+    )
+
+
+@_q("x15_ivf_insert_topk", _x15_oracle())
+def x15(spark, sf):
+    # incremental ANN index maintenance driver-checked end-to-end: build on
+    # the old corpus, fold the new batch with ivf_insert (map-only against
+    # the fixed centroids, old vectors never re-assigned), then query — the
+    # last incremental-family operator without a driver-green row
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.operators.similarity_search import (
+        build_ivf_index,
+        ivf_insert,
+        ivf_topk,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    base = emb.where(F.col("vec_id") >= 8)
+    old = base.where(F.col("vec_id") % 3 != 0)
+    new = base.where(F.col("vec_id") % 3 == 0)
+    qs = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    assigned, cents = build_ivf_index(old, n_cells=16, assign_decimals=6)
+    all_assigned = ivf_insert(assigned, cents, new, assign_decimals=6)
+    res = ivf_topk(
+        all_assigned, cents, qs, k=5, n_probe=4,
+        assign_decimals=6, score_decimals=3,
+    )
+    return res.select(
+        "q_id", "vec_id", (F.col("cos_sim") + F.lit(0.0)).alias("cos_sim")
+    ).orderBy("q_id", F.col("cos_sim").desc(), "vec_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_Q)
 
