@@ -2552,6 +2552,35 @@ def x15(spark, sf):
     ).orderBy("q_id", F.col("cos_sim").desc(), "vec_id")
 
 
+def _x16_oracle() -> str:
+    # delta == the full x7 pass restricted to pairs with >= 1 new endpoint
+    # (vec_id % 3 == 0); reuses the exact x7 SQL
+    return _x7_oracle().replace(
+        "WHERE round(list_cosine_similarity(a.v, b2.v), 6) >= 0.3",
+        "WHERE round(list_cosine_similarity(a.v, b2.v), 6) >= 0.3\n"
+        "  AND (a.vec_id % 3 = 0 OR b2.vec_id % 3 = 0)",
+    )
+
+
+@_q("x16_delta_embedding_near_dup", _x16_oracle())
+def x16(spark, sf):
+    # incremental embedding near-dup: the corpus is hyperplane-bucketed ONCE
+    # (committed embedding_bucket_keys); each batch buckets only itself and
+    # joins new x all — the 5th dedup family's delta, driver-checked
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.operators.dedup import (
+        delta_embedding_near_dup,
+        embedding_bucket_keys,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    old = emb.where(F.col("vec_id") % 3 != 0)
+    new = emb.where(F.col("vec_id") % 3 == 0)
+    old_keys = embedding_bucket_keys(old, dim=64)
+    return delta_embedding_near_dup(old_keys, new, dim=64, threshold=0.3).orderBy(
+        "left_id", "right_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_Q)
 

@@ -447,18 +447,17 @@ def delta_ngram_jaccard_pairs(
     )
 
 
-def embedding_near_dup_pairs(
+def embedding_bucket_keys(
     df: DataFrame,
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    threshold: float = 0.95,
     n_planes: int = 8,
     seed: int = 7,
 ) -> DataFrame:
-    """Cosine near-dups via random-hyperplane LSH buckets + exact verify.
-    Brute force is O(n^2); the bucket join keeps it near-linear for tight
-    thresholds (near-dup vectors almost always share all sign bits).
+    """(id, v, bucket) hyperplane-LSH rows — the committable representation
+    for the embedding near-dup family (the full and delta passes both key on
+    it, so a corpus bucketed once is never re-bucketed for a new batch).
 
     ``dim`` is an explicit parameter: probing it with a driver-side
     ``first()`` action from inside an operator would trigger a hidden job
@@ -490,26 +489,80 @@ def embedding_near_dup_pairs(
                      F.size(F.col(vec_col)).cast("string"))
         )
     )
-    keyed = df.select(
+    return df.select(
         F.col(id_col).alias("id"), checked_vec.alias("v"),
         F.concat_ws("", *bits).alias("bucket"),
     )
-    a, b = keyed.alias("a"), keyed.alias("b")
+
+
+def _exact_cosine(left_v, right_v):
     dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x.cast("double") * y),
+        F.zip_with(left_v, right_v, lambda x, y: x.cast("double") * y),
         F.lit(0.0), lambda acc, x: acc + x,
     )
     nrm = lambda c: F.sqrt(  # noqa: E731
         F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
     )
+    # + 0.0 folds IEEE -0.0 from round() of a tiny negative cosine to
+    # +0.0 (the driver's value hash is bit-sensitive)
+    return F.round(dot / (nrm(left_v) * nrm(right_v)), 6) + F.lit(0.0)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Cosine near-dups via random-hyperplane LSH buckets + exact verify.
+    Brute force is O(n^2); the bucket join keeps it near-linear for tight
+    thresholds (near-dup vectors almost always share all sign bits)."""
+    keyed = embedding_bucket_keys(
+        df, dim, id_col=id_col, vec_col=vec_col, n_planes=n_planes, seed=seed
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
-        # + 0.0 folds IEEE -0.0 from round() of a tiny negative cosine to
-        # +0.0 (the driver's value hash is bit-sensitive)
-        .withColumn(
-            "cos_sim",
-            F.round(dot / (nrm(F.col("a.v")) * nrm(F.col("b.v"))), 6) + F.lit(0.0),
-        )
+        .withColumn("cos_sim", _exact_cosine(F.col("a.v"), F.col("b.v")))
         .where(F.col("cos_sim") >= threshold)
         .select(F.col("a.id").alias("left_id"), F.col("b.id").alias("right_id"), "cos_sim")
+    )
+
+
+def delta_embedding_near_dup(
+    old_keys: DataFrame,
+    new_vectors: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding near-dup pairs with >= 1 NEW endpoint — the 5th and last
+    dedup family's incremental variant. ``old_keys`` is a committed
+    ``embedding_bucket_keys`` output: the corpus is bucketed once; each new
+    batch computes only its own sign bits, and the bucket join is
+    new x (old + new) — never old x old. Same hyperplanes (seed) as the
+    full pass, so old and new buckets are directly comparable.
+    """
+    new_keys = embedding_bucket_keys(
+        new_vectors, dim, id_col=id_col, vec_col=vec_col,
+        n_planes=n_planes, seed=seed,
+    ).persist()  # two consumers: the union and the 'n' join side
+    all_keys = old_keys.unionByName(new_keys)
+    n, t = new_keys.alias("n"), all_keys.alias("t")
+    return (
+        n.join(t, (F.col("n.bucket") == F.col("t.bucket")) & (F.col("n.id") != F.col("t.id")))
+        .withColumn("cos_sim", _exact_cosine(F.col("n.v"), F.col("t.v")))
+        .where(F.col("cos_sim") >= threshold)
+        .select(
+            F.least(F.col("n.id"), F.col("t.id")).alias("left_id"),
+            F.greatest(F.col("n.id"), F.col("t.id")).alias("right_id"),
+            "cos_sim",
+        )
+        .distinct()
     )

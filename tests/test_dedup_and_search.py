@@ -467,3 +467,37 @@ def test_near_dup_groups_members_cap_and_empty_corpus(spark):
         "doc_id long, text string",
     )
     assert dedup.near_dup_groups(uniq).count() == 0
+
+
+def test_delta_embedding_near_dup_equals_full_pass(spark):
+    """The 5th family's delta: bucketing only the new batch and joining
+    new x (old + new) reproduces the full pass's new-endpoint pairs exactly
+    (cos_sim values included); old x old never recomputed."""
+    import math
+
+    rows = []
+    for i in range(60):
+        angle = (i % 6) * math.pi / 3 + (0.001 * (i // 6))  # 6 tight clusters
+        rows.append((i, [math.cos(angle), math.sin(angle), 0.0, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    old_df = df.where(F.col("vec_id") % 4 != 0)
+    new_df = df.where(F.col("vec_id") % 4 == 0)
+
+    full = {
+        (r["left_id"], r["right_id"]): r["cos_sim"]
+        for r in dedup.embedding_near_dup_pairs(df, dim=4, threshold=0.9).collect()
+    }
+    old_ids = {r["vec_id"] for r in old_df.select("vec_id").collect()}
+    expected = {
+        k: v for k, v in full.items() if k[0] not in old_ids or k[1] not in old_ids
+    }
+    old_keys = dedup.embedding_bucket_keys(old_df, dim=4)
+    delta = {
+        (r["left_id"], r["right_id"]): r["cos_sim"]
+        for r in dedup.delta_embedding_near_dup(
+            old_keys, new_df, dim=4, threshold=0.9
+        ).collect()
+    }
+    assert delta == expected
+    assert delta  # non-vacuous
+    assert all(l not in old_ids or r not in old_ids for l, r in delta)
