@@ -362,7 +362,7 @@ def near_dup_groups(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    members_cap: int = 10_000,
+    members_cap: int | None = None,
     **lsh_kwargs,
 ) -> DataFrame:
     """Near-dup CLUSTERS with a canonical keeper — the training-data dedup
@@ -373,25 +373,35 @@ def near_dup_groups(
     invariant), member count, sorted member list. Docs in no pair are
     implicitly kept (absent from the output).
 
-    ``members_cap`` bounds the materialized member LIST per cluster (the
-    smallest ``members_cap`` ids; ``n_members`` always reports the true
-    size): a degenerate boilerplate cluster with millions of members would
-    otherwise buffer one giant array on a single task. The cap filter is a
-    window over cluster_id — the same key the roll-up groups on, so it adds
-    no extra shuffle beyond the group-by's own Exchange.
+    ``members_cap`` (opt-in, default None = full list) bounds the
+    materialized member LIST per cluster to the smallest ``members_cap``
+    ids; ``n_members`` always reports the true size. Use it when a
+    degenerate boilerplate cluster could buffer a giant array on one task —
+    but note a capped ``members`` list is then a SAMPLE, not the drop list:
+    a consumer deleting duplicates must anti-join on the CC labels (or on
+    ``n_members != size(members)`` fall back to them), never on a truncated
+    list. Default is uncapped so the list IS the drop list and the t12
+    oracle (which models no cap) stays exact. The cap filter is a window
+    over cluster_id — the same key the roll-up groups on, so it adds no
+    extra shuffle beyond the group-by's own Exchange.
     """
     from .cluster import connected_components
 
     pairs = minhash_lsh_pairs(df, id_col, text_col, **lsh_kwargs)
     edges = pairs.select(F.col("left_id").alias("u"), F.col("right_id").alias("v"))
     cc = connected_components(edges)
-    w = Window.partitionBy("cluster_id").orderBy("node")
-    capped = cc.withColumn("rn", F.row_number().over(w))
-    return capped.groupBy("cluster_id").agg(
+    if members_cap is None:
+        member_expr = F.collect_list("node")
+        grouped = cc
+    else:
+        w = Window.partitionBy("cluster_id").orderBy("node")
+        grouped = cc.withColumn("rn", F.row_number().over(w))
+        member_expr = F.collect_list(
+            F.when(F.col("rn") <= members_cap, F.col("node"))
+        )
+    return grouped.groupBy("cluster_id").agg(
         F.count("*").alias("n_members"),
-        F.sort_array(
-            F.collect_list(F.when(F.col("rn") <= members_cap, F.col("node")))
-        ).alias("members"),
+        F.sort_array(member_expr).alias("members"),
     ).select(
         F.col("cluster_id").alias("keeper"),
         F.col("n_members").cast("long").alias("n_members"),

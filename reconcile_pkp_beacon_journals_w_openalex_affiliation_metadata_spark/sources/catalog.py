@@ -321,6 +321,16 @@ class Catalog:
         df = self.read_committed(spark, name)
         if df is None:
             raise ValueError(f"table {name!r} is not committed")
+        if self.backend == "iceberg" and bucket_by is None:
+            # the iceberg path cannot READ the existing partition/bucket
+            # spec here (backend is untested in this sandbox — no jar), so
+            # a compaction would silently recreate the table flat; refuse
+            # instead of breaking the layout-preservation invariant above
+            raise NotImplementedError(
+                "compact on the iceberg backend cannot recover the existing "
+                "partition/bucket spec; pass bucket_by explicitly or use "
+                "Iceberg's own rewrite_data_files procedure in production"
+            )
         partition_by: list[str] | None = None
         meta: dict | None = None
         if self.backend == "marker":

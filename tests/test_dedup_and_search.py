@@ -461,9 +461,11 @@ def test_near_dup_groups_members_cap_and_empty_corpus(spark):
     r = got[0]
     assert (r["keeper"], r["n_members"], list(r["members"])) == (0, 8, [0, 1, 2])
 
+    # truly shingle-disjoint texts (every WORD carries the doc index, so no
+    # two docs share any 3-word window — zero LSH collision probability
+    # under ANY seed, not just the default)
     uniq = spark.createDataFrame(
-        [(i, f"totally unique content number {i} with distinct words {i*7}")
-         for i in range(6)],
+        [(i, " ".join(f"w{i}x{j}" for j in range(8))) for i in range(6)],
         "doc_id long, text string",
     )
     assert dedup.near_dup_groups(uniq).count() == 0
