@@ -2581,6 +2581,50 @@ def x16(spark, sf):
     )
 
 
+def _t13_oracle() -> str:
+    # the t12 closure, flattened to per-doc decisions: every clustered doc
+    # except its keeper is a drop
+    return f"""
+WITH RECURSIVE
+{_lsh_candidate_ctes(10_000)},
+und AS (
+  SELECT left_id AS u, right_id AS v FROM cand
+  UNION SELECT right_id, left_id FROM cand
+),
+reach(node, r) AS (
+  SELECT u, v FROM und UNION SELECT u, u FROM und
+  UNION
+  SELECT reach.node, und.v FROM reach JOIN und ON reach.r = und.u
+),
+assign AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+SELECT node AS doc_id, cluster_id AS keeper, 'drop' AS action
+FROM assign WHERE node <> cluster_id ORDER BY doc_id
+"""
+
+
+@_q("t13_dedup_decisions", _t13_oracle())
+def t13(spark, sf):
+    # the dedup DECISION TABLE — what a training pipeline actually joins
+    # against: one row per non-keeper member of a near-dup cluster, carrying
+    # the keeper it is replaced by (docs in no cluster are implicitly kept;
+    # an anti-join against this table applies the dedup in one pass)
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.operators.dedup import (
+        near_dup_groups,
+    )
+
+    d = _t(spark, sf, "documents")
+    g = near_dup_groups(
+        d, id_col="doc_id", text_col="text",
+        num_perm=64, bands=16, shingle_k=3, max_band_size=10_000,
+    )
+    return (
+        g.select("keeper", F.explode("members").alias("doc_id"))
+        .where(F.col("doc_id") != F.col("keeper"))
+        .select("doc_id", "keeper", F.lit("drop").alias("action"))
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_Q)
 
