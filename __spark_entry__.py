@@ -2359,6 +2359,14 @@ def x11(spark, sf):
     ).orderBy("left_id", "right_id")
 
 
+def _derive_sql(base: str, old: str, new: str) -> str:
+    """Rewrite a sibling oracle's SQL, failing loudly if the anchor text is
+    gone (a silent no-op would degrade a delta oracle to the full pass)."""
+    out = base.replace(old, new)
+    assert out != base, f"oracle derivation anchor not found: {old!r}"
+    return out
+
+
 def _x12_oracle() -> str:
     # delta == the full simhash pass restricted to pairs with >= 1 new
     # endpoint (doc_id % 4 == 0). The pigeonhole block split is a COMPLETE
@@ -2367,7 +2375,7 @@ def _x12_oracle() -> str:
     # here (n=500 docs at the driver's sf0.01, so n^2 is cheap in DuckDB).
     # Codes come from the exact x3 CTE chain (shared fragment: the two
     # oracles can never desynchronize).
-    inner = _X3_ORACLE.replace("ORDER BY doc_id", "")
+    inner = _derive_sql(_X3_ORACLE, "ORDER BY doc_id", "")
     return f"""
 WITH codes AS ({inner})
 SELECT a.doc_id AS left_id, b.doc_id AS right_id,
@@ -2409,7 +2417,8 @@ def x12(spark, sf):
 def _x13_oracle() -> str:
     # delta == the full block-then-verify pass (the EXACT t8 oracle chain)
     # restricted to pairs with >= 1 new endpoint (doc_id % 4 == 0)
-    return _t8_oracle().replace(
+    return _derive_sql(
+        _t8_oracle(),
         "WHERE jaccard >= 0.8 ORDER BY",
         "WHERE jaccard >= 0.8 AND (left_id % 4 = 0 OR right_id % 4 = 0) ORDER BY",
     )
@@ -2514,7 +2523,8 @@ def _x15_oracle() -> str:
     # subset only (vec_id % 3 != 0) — ivf_insert assigns the new batch
     # against those FIXED centroids, so a full recompute with old-subset
     # centroids is the exact oracle for build(old) + insert(new) + query
-    return _x9_oracle().replace(
+    return _derive_sql(
+        _x9_oracle(),
         """  FROM embeddings WHERE vec_id >= 8
   QUALIFY row_number()""",
         """  FROM embeddings WHERE vec_id >= 8 AND vec_id % 3 <> 0
@@ -2555,7 +2565,8 @@ def x15(spark, sf):
 def _x16_oracle() -> str:
     # delta == the full x7 pass restricted to pairs with >= 1 new endpoint
     # (vec_id % 3 == 0); reuses the exact x7 SQL
-    return _x7_oracle().replace(
+    return _derive_sql(
+        _x7_oracle(),
         "WHERE round(list_cosine_similarity(a.v, b2.v), 6) >= 0.3",
         "WHERE round(list_cosine_similarity(a.v, b2.v), 6) >= 0.3\n"
         "  AND (a.vec_id % 3 = 0 OR b2.vec_id % 3 = 0)",
@@ -2625,9 +2636,39 @@ def t13(spark, sf):
     )
 
 
+# Queries added in round 4 (never sampled by a driver that takes the first 50
+# registry entries) are surfaced first so they accumulate driver-green
+# CORRECTNESS rows; the long-green round-1..3 queries follow in their
+# original order.
+_PRIORITY = [
+    "t11_sequence_packing_slices",
+    "x6_corpus_filter",
+    "a8_filter_audit_counts",
+    "x5_multimodal_media_inventory",
+    "x8_block_skew_profile",
+    "x9_ann_ivf_topk",
+    "a11_match_rate_by_family",
+    "x10_delta_candidate_pairs",
+    "x11_delta_minhash_pairs",
+    "x12_delta_simhash_pairs",
+    "x13_delta_ngram_jaccard",
+    "t12_near_dup_groups",
+    "x14_minhash_jaccard_estimate",
+    "x15_ivf_insert_topk",
+    "x16_delta_embedding_near_dup",
+    "t13_dedup_decisions",
+]
+
+
+def _reordered(reg: dict) -> dict:
+    head = {k: reg[k] for k in _PRIORITY if k in reg}
+    tail = {k: v for k, v in reg.items() if k not in head}
+    return {**head, **tail}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(_Q)
+    return _reordered(_Q)
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_O)
+    return _reordered(_O)

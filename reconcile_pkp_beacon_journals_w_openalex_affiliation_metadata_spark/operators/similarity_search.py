@@ -116,13 +116,17 @@ def refine_ivf_centroids(
         # update must average UNIT vectors — a raw mean would let one
         # large-magnitude member swing the whole cell's direction (direction
         # is all that matters; _nearest_cells_udf re-normalizes centroids)
-        unit = F.transform(
-            F.col(vec_col),
-            lambda x: x.cast("double")
-            / F.greatest(_norm(F.col(vec_col)), F.lit(1e-300)),
-        )
-        assigned = vectors.select(unit.alias("v")).withColumn(
-            "cell", pick1(F.col("v"))[0]
+        # compute the O(dim) norm ONCE per row; dividing inside the
+        # transform lambda would re-evaluate it per element (O(dim^2)/row)
+        norm = F.greatest(_norm(F.col(vec_col)), F.lit(1e-300))
+        assigned = (
+            vectors.select(F.col(vec_col).alias("raw"), norm.alias("n"))
+            .select(
+                F.transform(
+                    F.col("raw"), lambda x: x.cast("double") / F.col("n")
+                ).alias("v")
+            )
+            .withColumn("cell", pick1(F.col("v"))[0])
         )
         rows = (
             assigned.select("cell", F.posexplode("v").alias("pos", "x"))

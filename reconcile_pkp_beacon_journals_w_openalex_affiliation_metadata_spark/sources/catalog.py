@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import uuid
 
@@ -86,6 +87,7 @@ class Catalog:
         self, df: DataFrame, name: str, partition_by: list[str] | None = None,
         meta: dict | None = None,
         bucket_by: tuple[list[str], int] | None = None,
+        compacted_batches: list[str] | None = None,
     ) -> None:
         """Write + atomic publish. Invariant at every crash point: the
         committed state is marker-AND-data or neither.
@@ -167,6 +169,10 @@ class Catalog:
                     "table": name,
                     "meta": meta or {},
                     "partition_by": partition_by or [],
+                    # batch ids whose rows are already folded into this base
+                    # (set by compact()); append_committed treats a replay of
+                    # one as a no-op so compaction preserves idempotent replay
+                    "compacted_batches": compacted_batches or [],
                 },
                 f,
             )
@@ -228,7 +234,9 @@ class Catalog:
         batch list is atomically replaced. Re-appending the SAME batch_id
         REPLACES that batch (the id is first retired from the marker, so a
         crashed replay can never double-count): with deterministic batch
-        ids, replays are idempotent.
+        ids, replays are idempotent. A batch id that ``compact()`` already
+        folded into the base (marker ``compacted_batches``) replays as a
+        replace-nothing no-op — replay idempotency survives compaction.
         """
         if self.backend != "marker":
             raise NotImplementedError(
@@ -256,6 +264,11 @@ class Catalog:
                 f"{sorted(df.columns)} vs committed {sorted(base_cols)}"
             )
         safe = "".join(c if c.isalnum() or c in "-_" else "_" for c in batch_id)
+        if safe in meta.get("compacted_batches", []):
+            # this batch's rows were folded into the base by compact();
+            # a crash-replay of it is a replace-nothing no-op (appending
+            # would double-count rows already in the compacted base)
+            return
         bdir = os.path.join(tdir, f"batch_{safe}")
         batches = [b for b in meta.get("batches", []) if b != safe]
         if len(batches) != len(meta.get("batches", [])):
@@ -333,10 +346,17 @@ class Catalog:
             )
         partition_by: list[str] | None = None
         meta: dict | None = None
+        compacted: list[str] | None = None
         if self.backend == "marker":
             m = self._read_marker(name)
             partition_by = m.get("partition_by") or None
             meta = m.get("meta") or None
+            # batches folded into the new base are retired but REMEMBERED:
+            # a crash-replay of one after compaction must be a no-op, not a
+            # duplicate append (idempotent-replay contract)
+            compacted = sorted(
+                set(m.get("batches", [])) | set(m.get("compacted_batches", []))
+            ) or None
         elif self.backend == "table":
             partition_by = [
                 c.name
@@ -347,22 +367,41 @@ class Catalog:
                 # bucket layout must survive compaction too (losing it would
                 # silently re-introduce the shuffle the table was bucketed
                 # to avoid); DESCRIBE FORMATTED carries the spec
-                desc = {
-                    r["col_name"]: r["data_type"]
-                    for r in spark.sql(
-                        f"DESCRIBE FORMATTED {self._table_ident(name)}"
-                    ).collect()
-                }
+                # only rows AFTER the first "# ..." section header are table
+                # metadata — a data column literally named "Num Buckets"
+                # would otherwise collide in the dict
+                desc: dict[str, str] = {}
+                in_info = False
+                for r in spark.sql(
+                    f"DESCRIBE FORMATTED {self._table_ident(name)}"
+                ).collect():
+                    if str(r["col_name"]).startswith("#"):
+                        in_info = True
+                        continue
+                    if in_info and r["col_name"]:
+                        desc.setdefault(r["col_name"], r["data_type"] or "")
                 if desc.get("Num Buckets"):
-                    cols = [
-                        c.strip().strip("`")
-                        for c in desc["Bucket Columns"].strip("[]").split(",")
-                    ]
+                    # bucket columns render as `a`, `b` — take the
+                    # backtick-quoted identifiers (comma-safe), not a naive
+                    # comma split of the bracketed list
+                    cols = re.findall(r"`((?:[^`]|``)+)`", desc["Bucket Columns"])
+                    cols = [c.replace("``", "`") for c in cols]
+                    known = {
+                        c.name
+                        for c in spark.catalog.listColumns(self._table_ident(name))
+                    }
+                    if not cols or not set(cols) <= known:
+                        raise ValueError(
+                            f"compact {name!r}: cannot recover bucket spec from "
+                            f"DESCRIBE FORMATTED ({desc['Bucket Columns']!r}); "
+                            "pass bucket_by explicitly"
+                        )
                     bucket_by = (cols, int(desc["Num Buckets"]))
         pinned = df.coalesce(target_partitions).localCheckpoint()
         self.write_committed(
             pinned, name,
             partition_by=partition_by, meta=meta, bucket_by=bucket_by,
+            compacted_batches=compacted,
         )
 
     def resume_filter(

@@ -226,6 +226,50 @@ def test_append_schema_guard_and_compact_folds_batches(spark, tmp_path):
     cat.drop("t")
 
 
+def test_replay_of_compacted_batch_is_noop(spark, tmp_path):
+    """ADVICE r4: compact() must not break idempotent replay. A crash-replay
+    of a batch_id whose rows were folded into the compacted base is a
+    replace-nothing no-op, never a duplicate append; a genuinely NEW batch id
+    still appends, and a second compaction keeps the ledger cumulative."""
+    import glob
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.sources.catalog import (
+        Catalog,
+    )
+
+    cat = Catalog(str(tmp_path / "replay"))
+    base = spark.range(0, 50).selectExpr("cast(id as string) as doc_id")
+    cat.write_committed(base, "t")
+    batch = spark.range(50, 60).selectExpr("cast(id as string) as doc_id")
+    cat.append_committed(batch, "t", "day1")
+    assert cat.read_committed(spark, "t").count() == 60
+    cat.compact(spark, "t", 1)
+    assert cat._read_marker("t")["compacted_batches"] == ["day1"]
+    # crash-replay of the folded batch: no-op, no duplicate rows, no dir
+    cat.append_committed(batch, "t", "day1")
+    assert cat.read_committed(spark, "t").count() == 60
+    assert glob.glob(str(tmp_path / "replay" / "t" / "batch_*")) == []
+    # a new batch id still appends normally
+    cat.append_committed(
+        spark.range(60, 65).selectExpr("cast(id as string) as doc_id"), "t", "day2"
+    )
+    assert cat.read_committed(spark, "t").count() == 65
+    # second compaction: ledger is cumulative across compactions
+    cat.compact(spark, "t", 1)
+    assert cat._read_marker("t")["compacted_batches"] == ["day1", "day2"]
+    cat.append_committed(batch, "t", "day1")
+    cat.append_committed(
+        spark.range(60, 65).selectExpr("cast(id as string) as doc_id"), "t", "day2"
+    )
+    assert cat.read_committed(spark, "t").count() == 65
+    # a FULL rewrite resets the ledger (new base owes nothing to old batches)
+    cat.write_committed(base, "t")
+    assert cat._read_marker("t")["compacted_batches"] == []
+    cat.append_committed(batch, "t", "day1")
+    assert cat.read_committed(spark, "t").count() == 60
+    cat.drop("t")
+
+
 def test_compact_preserves_partition_layout_and_meta(spark, tmp_path):
     """ADVICE r3: compacting a hive-partitioned table must republish it with
     the SAME partition_by (pruning survives) and the same marker meta."""
