@@ -1986,29 +1986,65 @@ def t11(spark, sf):
     # one window for the running sum, then sequence+explode of the pack
     # range — at 100 TB this is one shuffle on the stratum key and a
     # row-local explode whose fan-out is 1 + n_tokens/256 per doc.
-    from pyspark.sql import Window
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.operators.packing import (
+        pack_slices,
+    )
 
     d = _t(spark, sf, "documents")
-    n_tok = F.size(F.split(F.trim(F.col("text")), "[ \t\n\f\r]+")).cast("long")
-    w = Window.partitionBy("source").orderBy("doc_id")
-    toks = d.select("doc_id", "source", n_tok.alias("n_tokens"))
-    packed = toks.withColumn(
-        "tok_before", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return pack_slices(d, pack_size=256).orderBy("source", "doc_id", "pack_id")
+
+
+_T14_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, source,
+         string_split_regex(trim(text), '\\s+') AS toks,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT doc_id, source, toks, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+              - n_tokens AS BIGINT) AS tok_before
+  FROM toks
+), cov AS (
+  SELECT source, toks, n_tokens, tok_before,
+         unnest(generate_series(tok_before // 256,
+                                (tok_before + n_tokens - 1) // 256)) AS pack_id
+  FROM packed
+), sl AS (
+  SELECT source, CAST(pack_id AS BIGINT) AS pack_id,
+         CAST(greatest(pack_id * 256, tok_before) - pack_id * 256 AS BIGINT)
+           AS pack_offset,
+         list_slice(toks,
+             CAST(greatest(pack_id * 256, tok_before) - tok_before + 1 AS BIGINT),
+             CAST(least((pack_id + 1) * 256, tok_before + n_tokens)
+                  - tok_before AS BIGINT)) AS slice_toks
+  FROM cov
+)
+SELECT source, pack_id,
+       string_agg(array_to_string(slice_toks, ' '), ' ' ORDER BY pack_offset)
+         AS pack_text,
+       CAST(sum(len(slice_toks)) AS BIGINT) AS pack_len
+FROM sl GROUP BY source, pack_id ORDER BY source, pack_id
+"""
+
+
+@_q("t14_pack_materialize", _T14_ORACLE)
+def t14(spark, sf):
+    # pack MATERIALIZATION (the r4-verdict task #3): t11 emits coverage
+    # rows; this emits the actual per-pack ordered token concatenation —
+    # the tensor-shaped deliverable a pretraining loader consumes. One
+    # groupBy on (stratum, pack_id) whose per-key state is bounded by the
+    # pack size (256 tokens) regardless of corpus size; tokens ride through
+    # the running-sum window so no second join back to documents. Every
+    # pack_len == 256 except the trailing pack per stratum
+    # (pytest-asserted); concatenating packs in pack_id order reconstructs
+    # the stratum's exact document stream.
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.operators.packing import (
+        materialize_packs,
     )
-    first_p = F.floor(F.col("tok_before") / 256)
-    last_p = F.floor((F.col("tok_before") + F.col("n_tokens") - 1) / 256)
-    cov = packed.withColumn("pack_id", F.explode(F.sequence(first_p, last_p)))
-    start_g = F.greatest(F.col("pack_id") * 256, F.col("tok_before"))
-    end_g = F.least(
-        (F.col("pack_id") + 1) * 256, F.col("tok_before") + F.col("n_tokens")
-    )
-    return cov.select(
-        "doc_id", "source",
-        F.col("pack_id").cast("long").alias("pack_id"),
-        (start_g - F.col("tok_before")).cast("long").alias("slice_start"),
-        (end_g - start_g).cast("long").alias("slice_len"),
-        (start_g - F.col("pack_id") * 256).cast("long").alias("pack_offset"),
-    ).orderBy("source", "doc_id", "pack_id")
+
+    d = _t(spark, sf, "documents")
+    return materialize_packs(d, pack_size=256).orderBy("source", "pack_id")
 
 
 def _synthetic_works(spark, sf):
@@ -2641,6 +2677,7 @@ def t13(spark, sf):
 # CORRECTNESS rows; the long-green round-1..3 queries follow in their
 # original order.
 _PRIORITY = [
+    "t14_pack_materialize",
     "t11_sequence_packing_slices",
     "x6_corpus_filter",
     "a8_filter_audit_counts",

@@ -93,3 +93,48 @@ def test_packing_tiles_every_pack_exactly(spark):
         tot = sum(r["slice_len"] for r in got if r["source"] == s)
         assert tot == sum(n for d, n in n_tok.items()
                           if dict((r2[0], r2[1]) for r2 in rows)[d] == s)
+
+
+def _run_t14(spark, docs_rows):
+    import __spark_entry__ as entry
+
+    df = spark.createDataFrame(docs_rows, "doc_id long, source string, text string")
+    with tempfile.TemporaryDirectory() as td:
+        df.write.mode("overwrite").parquet(os.path.join(td, "documents.parquet"))
+        return entry.queries()["t14_pack_materialize"](spark, td).collect()
+
+
+def test_materialized_packs_reconstruct_stream(spark):
+    """t14 pack materialization: every pack is exactly PACK tokens except the
+    trailing pack per stratum, and concatenating the packs in pack_id order
+    reconstructs the stratum's exact document stream (docs in doc_id order,
+    nothing dropped, duplicated, or reordered across split boundaries)."""
+    rows = []
+    did = 0
+    for s, sizes in {
+        "a": [100, 700, 30, 256, 1, 255, 100],  # boundary splits + long doc
+        "b": [256, 256, 256],                   # exact fits
+        "c": [5],                               # single partial pack
+    }.items():
+        for n in sizes:
+            # tokens unique per doc so cross-doc reorder/dup is detectable
+            rows.append((did, s, " ".join(f"d{did}w{i}" for i in range(n))))
+            did += 1
+    got = _run_t14(spark, rows)
+    PACK = 256
+    by_stratum = {}
+    for r in got:
+        by_stratum.setdefault(r["source"], []).append(r)
+    for s, rs in by_stratum.items():
+        rs.sort(key=lambda r: r["pack_id"])
+        assert [r["pack_id"] for r in rs] == list(range(len(rs)))
+        for r in rs[:-1]:
+            assert r["pack_len"] == PACK, (s, r["pack_id"])
+        assert 1 <= rs[-1]["pack_len"] <= PACK
+        for r in rs:
+            assert len(r["pack_text"].split(" ")) == r["pack_len"]
+        stream = " ".join(r["pack_text"] for r in rs)
+        expected = " ".join(
+            t for (d, s2, t) in sorted(rows) if s2 == s
+        )
+        assert stream == expected, s
