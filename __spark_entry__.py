@@ -2515,8 +2515,11 @@ def t12(spark, sf):
     )
 
     d = _t(spark, sf, "documents")
+    # members_cap=None: the DuckDB oracle models the cap-free full member
+    # list, fine at driver scale; production consumers use t13's decision
+    # table (no arrays) and the scale-safe default cap applies elsewhere
     return near_dup_groups(
-        d, id_col="doc_id", text_col="text",
+        d, id_col="doc_id", text_col="text", members_cap=None,
         num_perm=64, bands=16, shingle_k=3, max_band_size=10_000,
     ).orderBy("keeper")
 
@@ -2654,22 +2657,18 @@ def t13(spark, sf):
     # the dedup DECISION TABLE — what a training pipeline actually joins
     # against: one row per non-keeper member of a near-dup cluster, carrying
     # the keeper it is replaced by (docs in no cluster are implicitly kept;
-    # an anti-join against this table applies the dedup in one pass)
+    # an anti-join against this table applies the dedup in one pass). Built
+    # straight from the CC labels (node != label => drop), never from a
+    # rolled-up member array — O(1) per row regardless of cluster size.
     from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.operators.dedup import (
-        near_dup_groups,
+        dedup_decisions,
     )
 
     d = _t(spark, sf, "documents")
-    g = near_dup_groups(
+    return dedup_decisions(
         d, id_col="doc_id", text_col="text",
         num_perm=64, bands=16, shingle_k=3, max_band_size=10_000,
-    )
-    return (
-        g.select("keeper", F.explode("members").alias("doc_id"))
-        .where(F.col("doc_id") != F.col("keeper"))
-        .select("doc_id", "keeper", F.lit("drop").alias("action"))
-        .orderBy("doc_id")
-    )
+    ).orderBy("doc_id")
 
 
 # Queries added in round 4 (never sampled by a driver that takes the first 50

@@ -358,37 +358,19 @@ def minhash_jaccard_estimates(
     )
 
 
-def near_dup_groups(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    members_cap: int | None = None,
-    **lsh_kwargs,
+def near_dup_groups_from_edges(
+    edges: DataFrame, members_cap: int | None = 1000
 ) -> DataFrame:
-    """Near-dup CLUSTERS with a canonical keeper — the training-data dedup
-    deliverable (keep one doc per group, drop the rest).
+    """Cluster roll-up over an explicit near-dup edge set (u, v).
 
-    minhash_lsh_pairs edges -> alternating-star connected components ->
-    per-cluster roll-up: keeper = min doc id (== the CC cluster_id
-    invariant), member count, sorted member list. Docs in no pair are
-    implicitly kept (absent from the output).
-
-    ``members_cap`` (opt-in, default None = full list) bounds the
-    materialized member LIST per cluster to the smallest ``members_cap``
-    ids; ``n_members`` always reports the true size. Use it when a
-    degenerate boilerplate cluster could buffer a giant array on one task —
-    but note a capped ``members`` list is then a SAMPLE, not the drop list:
-    a consumer deleting duplicates must anti-join on the CC labels (or on
-    ``n_members != size(members)`` fall back to them), never on a truncated
-    list. Default is uncapped so the list IS the drop list and the t12
-    oracle (which models no cap) stays exact. The cap filter is a window
-    over cluster_id — the same key the roll-up groups on, so it adds no
-    extra shuffle beyond the group-by's own Exchange.
+    Alternating-star connected components -> per-cluster roll-up: keeper =
+    min doc id (== the CC cluster_id invariant), true member count, sorted
+    member list. Factored out of :func:`near_dup_groups` so the roll-up is
+    testable (and reusable) independent of which blocking family produced
+    the edges.
     """
     from .cluster import connected_components
 
-    pairs = minhash_lsh_pairs(df, id_col, text_col, **lsh_kwargs)
-    edges = pairs.select(F.col("left_id").alias("u"), F.col("right_id").alias("v"))
     cc = connected_components(edges)
     if members_cap is None:
         member_expr = F.collect_list("node")
@@ -407,6 +389,71 @@ def near_dup_groups(
         F.col("n_members").cast("long").alias("n_members"),
         "members",
     )
+
+
+def near_dup_groups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    members_cap: int | None = 1000,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Near-dup CLUSTERS with a canonical keeper, for inspection/reporting.
+
+    minhash_lsh_pairs edges -> :func:`near_dup_groups_from_edges` roll-up.
+    Docs in no pair are implicitly kept (absent from the output).
+
+    ``members_cap`` (default 1000 — the scale-safe bound) limits the
+    materialized member LIST per cluster to the smallest ``members_cap``
+    ids, so a degenerate boilerplate cluster can never buffer an unbounded
+    array on one task; ``n_members`` always reports the true size. A capped
+    ``members`` list is a SAMPLE, not the drop list: a consumer deleting
+    duplicates must use :func:`dedup_decisions` (one bounded row per doc,
+    no arrays — the primary dedup API), never a truncated list; detect
+    truncation via ``n_members != size(members)``. Pass
+    ``members_cap=None`` only at oracle-scale corpora where the full list
+    is wanted exactly (the t12 driver query does, to match its cap-free
+    DuckDB oracle). The cap filter is a window over cluster_id — the same
+    key the roll-up groups on, so it adds no extra shuffle beyond the
+    group-by's own Exchange.
+    """
+    pairs = minhash_lsh_pairs(df, id_col, text_col, **lsh_kwargs)
+    edges = pairs.select(F.col("left_id").alias("u"), F.col("right_id").alias("v"))
+    return near_dup_groups_from_edges(edges, members_cap=members_cap)
+
+
+def dedup_decisions_from_edges(edges: DataFrame) -> DataFrame:
+    """Per-doc drop decisions from an explicit near-dup edge set."""
+    from .cluster import connected_components
+
+    cc = connected_components(edges)
+    return cc.where(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("doc_id"),
+        F.col("cluster_id").alias("keeper"),
+        F.lit("drop").alias("action"),
+    )
+
+
+def dedup_decisions(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **lsh_kwargs,
+) -> DataFrame:
+    """The PRIMARY dedup deliverable: one row per doc to DROP, with the
+    keeper it duplicates — the anti-joinable decision table a training
+    pipeline consumes (``corpus.join(decisions, "doc_id", "left_anti")``).
+
+    Derived straight from the connected-components labels (node != label =>
+    drop in favour of label), never from a rolled-up member array, so every
+    row is O(1) regardless of cluster size — a 10M-member boilerplate
+    cluster costs 10M flat rows spread across tasks, not one 10M-element
+    array on one task. Prefer this over exploding
+    :func:`near_dup_groups`.members at any real corpus scale.
+    """
+    pairs = minhash_lsh_pairs(df, id_col, text_col, **lsh_kwargs)
+    edges = pairs.select(F.col("left_id").alias("u"), F.col("right_id").alias("v"))
+    return dedup_decisions_from_edges(edges)
 
 
 def delta_ngram_jaccard_pairs(
