@@ -124,9 +124,48 @@ def main() -> None:
         "sf": sf_dir,
         "cpus": int(cpus),
         "pairs_scored_per_sec": round(n_pairs / score_wall, 1),
+        "flagship_stages": _flagship_stages(spark, sf_dir),
         "protocol": f"1 untimed warm-up lap + min of {laps} timed laps",
     }
     print(json.dumps(out))
+
+
+def _flagship_stages(spark, sf_dir: str) -> dict[str, float]:
+    """Per-stage walls for the flagship pipeline (r4-verdict task #8): the
+    2.9 s x1 headline hides WHERE time shifts round-over-round; this makes
+    extract/blocking/candidates/scoring/cc individually machine-diffable in
+    BENCH_r{N}.json. Materialization barriers (persist + count) sit exactly
+    at the plan's own persist points, so the split adds only the counts."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.operators import (
+        blocking,
+        cluster,
+        extract,
+        pairs,
+        scoring,
+    )
+    spark.catalog.clearCache()
+    docs = entry_mod.wrap_documents_as_spans(
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    )
+    stages: dict[str, float] = {}
+
+    def _timed(name, df):
+        t0 = time.perf_counter()
+        out = df.persist()
+        out.count()
+        stages[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    records = _timed("extract", extract.extract_records(docs))
+    keys = _timed("blocking", blocking.blocking_keys(records))
+    cand = _timed("candidates", pairs.candidate_pairs(keys, max_block_size=500))
+    scored = _timed("scoring", scoring.score_pairs(cand, records))
+    t0 = time.perf_counter()
+    cluster.connected_components(scoring.matched_edges(scored)).count()
+    stages["cc"] = round(time.perf_counter() - t0, 3)
+    for df in (records, keys, cand, scored):
+        df.unpersist()
+    return stages
 
 
 if __name__ == "__main__":

@@ -36,6 +36,10 @@ def main(argv=None):
     ap.add_argument("--n-salts", type=int, default=8)
     ap.add_argument("--max-block-size", type=int, default=None)
     ap.add_argument("--hot-pair-threshold", type=int, default=1_000_000)
+    ap.add_argument(
+        "--catalog-backend", choices=["marker", "table"], default="marker",
+        help="catalog backend the prior full run was committed with",
+    )
     args = ap.parse_args(argv)
     if bool(args.new_documents) == bool(args.stream_dir):
         ap.error("exactly one of --new-documents / --stream-dir required")
@@ -47,7 +51,7 @@ def main(argv=None):
     from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.sources.catalog import Catalog
 
     spark = SparkSession.builder.appName("reconcile_incremental").getOrCreate()
-    cat = Catalog(args.output)
+    cat = Catalog(args.output, backend=args.catalog_backend)
     kwargs = dict(
         n_salts=args.n_salts,
         hot_pair_threshold=args.hot_pair_threshold,

@@ -56,14 +56,14 @@ def incremental_reconcile(
     ``clusters`` tables (a prior full run); publishes updated versions of
     all four plus ``candidate_pairs``.
     """
-    if cat.backend != "marker":
-        # saveAsTable(overwrite) cannot rewrite a table its own input plan
-        # reads; the marker backend's staging-dir protocol can. The
-        # production answer for catalog-managed tables is Iceberg appends /
-        # snapshot commits, not union-rewrites.
+    if cat.backend not in ("marker", "table"):
+        # both file-based backends speak the batch-ledger append protocol;
+        # the production answer for Iceberg is engine-native appends /
+        # snapshot commits, which this sandbox cannot execute (no jar).
         raise NotImplementedError(
-            "incremental_reconcile supports the 'marker' catalog backend; "
-            f"got {cat.backend!r} (table/iceberg need append-style commits)"
+            "incremental_reconcile supports the 'marker' and 'table' catalog "
+            f"backends; got {cat.backend!r} (iceberg needs engine-native "
+            "appends)"
         )
     # retire ORPHANED batches from a crashed prior run first: records
     # appends LAST, so any batch id present in a downstream table but
@@ -145,7 +145,11 @@ def incremental_reconcile(
         F.col("node").alias("u"), F.col("cluster_id").alias("v")
     )
     edges = seed_edges.unionByName(scoring.matched_edges(delta_scored))
-    clusters = cluster.connected_components(edges)
+    # pinned like every other delta frame: the clusters rewrite below must
+    # not read the very table (or cached plan) it replaces — on the table
+    # backend saveAsTable(overwrite) cannot rewrite a table its own input
+    # plan reads, and CC's internal checkpoints don't pin the seed scan
+    clusters = cluster.connected_components(edges).localCheckpoint()
 
     n_delta = delta_pairs.count()
     n_matches = delta_scored.where(F.col("is_match_pred")).count()

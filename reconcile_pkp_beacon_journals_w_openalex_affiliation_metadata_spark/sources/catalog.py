@@ -129,6 +129,28 @@ class Catalog:
             w.createOrReplace()  # raises without the Iceberg jar/catalog
             return
         if self.backend == "table":
+            # Ledger ordering mirrors the marker backend's demote-first
+            # philosophy, within saveAsTable's limits (no staging+rename):
+            # - plain rewrite: reset the ledger BEFORE publishing — a crash
+            #   in between leaves appended batches invisible (the batch
+            #   looks unprocessed; the incremental replay protocol repairs
+            #   it), never double-counted.
+            # - compaction (compacted_batches set): the pinned df already
+            #   CONTAINS the batch rows, so publish first and retire the
+            #   ledger after — a crash in between double-counts until
+            #   compact() is rerun (documented; Iceberg's snapshot commit
+            #   is the atomic production answer).
+            ledger = (
+                self._ledger_read(name)
+                if self.is_committed(name, df.sparkSession)
+                else {}
+            )
+            if compacted_batches is None and (
+                ledger.get("batches") or ledger.get("compacted_batches")
+            ):
+                # full rewrite owes nothing to old batches: reset both lists
+                # (a replayed old id must append against the NEW base)
+                self._ledger_write(name, {"batches": [], "compacted_batches": []})
             w = df.write.mode("overwrite").format("parquet").option(
                 "path", os.path.join(self._dir(name), "table_data")
             )
@@ -138,6 +160,16 @@ class Catalog:
                 cols, n = bucket_by
                 w = w.bucketBy(n, *cols).sortBy(*cols)
             w.saveAsTable(self._table_ident(name))
+            if compacted_batches is not None:
+                self._ledger_write(
+                    name,
+                    {"batches": [], "compacted_batches": compacted_batches},
+                )
+            tdir = self._dir(name)
+            for entry in os.listdir(tdir) if os.path.exists(tdir) else []:
+                if entry.startswith("batch_"):
+                    shutil.rmtree(os.path.join(tdir, entry), ignore_errors=True)
+            df.sparkSession.catalog.refreshByPath(tdir)
             return
         if bucket_by:
             raise ValueError(
@@ -211,6 +243,38 @@ class Catalog:
             os.fsync(f.fileno())
         os.replace(tmp, marker)
 
+    # The batch LEDGER (which appended batches are visible + which ids a
+    # compaction already folded into the base) lives inside the _COMMIT
+    # marker on the marker backend and in a sidecar _BATCHES file on the
+    # table backend (the table's commit state is the Spark catalog entry,
+    # which cannot carry the list atomically). Same JSON shape either way;
+    # both publish via write-temp + os.replace so readers never see a torn
+    # ledger.
+    def _ledger_path(self, name: str) -> str:
+        return os.path.join(self._dir(name), "_BATCHES")
+
+    def _ledger_read(self, name: str) -> dict:
+        if self.backend == "marker":
+            return self._read_marker(name)
+        p = self._ledger_path(name)
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
+
+    def _ledger_write(self, name: str, payload: dict) -> None:
+        if self.backend == "marker":
+            self._write_marker(name, payload)
+            return
+        os.makedirs(self._dir(name), exist_ok=True)
+        p = self._ledger_path(name)
+        tmp = p + f".tmp_{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, p)
+
     def read_committed(self, spark: SparkSession, name: str) -> DataFrame | None:
         if not self.is_committed(name, spark):
             return None
@@ -224,77 +288,101 @@ class Catalog:
                 for b in self._read_marker(name).get("batches", [])
             ]
             return spark.read.parquet(*paths)
-        return spark.table(self._table_ident(name))
+        base = spark.table(self._table_ident(name))
+        if self.backend == "table":
+            batches = self._ledger_read(name).get("batches", [])
+            if batches:
+                extra = spark.read.parquet(
+                    *[
+                        os.path.join(self._dir(name), f"batch_{b}")
+                        for b in batches
+                    ]
+                )
+                # unionByName: batch parquet stores partition columns as
+                # ordinary columns, so order may differ from the table's
+                base = base.unionByName(extra.select(*base.columns))
+        return base
 
     def append_committed(self, df: DataFrame, name: str, batch_id: str) -> None:
         """Append-style commit: O(batch) IO instead of the O(table)
         union-rewrite — the shape Iceberg appends give in production, here
-        over the marker protocol. The batch is written to
-        ``<table>/batch_<id>`` and becomes visible only when the marker's
-        batch list is atomically replaced. Re-appending the SAME batch_id
-        REPLACES that batch (the id is first retired from the marker, so a
-        crashed replay can never double-count): with deterministic batch
-        ids, replays are idempotent. A batch id that ``compact()`` already
-        folded into the base (marker ``compacted_batches``) replays as a
-        replace-nothing no-op — replay idempotency survives compaction.
+        over the batch-ledger protocol (marker AND table backends). The
+        batch is written to ``<table>/batch_<id>`` and becomes visible only
+        when the ledger's batch list is atomically replaced. Re-appending
+        the SAME batch_id REPLACES that batch (the id is first retired from
+        the ledger, so a crashed replay can never double-count): with
+        deterministic batch ids, replays are idempotent. A batch id that
+        ``compact()`` already folded into the base (ledger
+        ``compacted_batches``) replays as a replace-nothing no-op — replay
+        idempotency survives compaction.
         """
-        if self.backend != "marker":
+        if self.backend == "iceberg":
             raise NotImplementedError(
-                "append_committed is marker-backend only (use Iceberg "
-                "appends on the iceberg backend in production)"
+                "append_committed on the iceberg backend is an engine-native "
+                "append (df.writeTo(...).append() snapshot commit); the "
+                "batch-ledger protocol covers marker and table backends"
             )
-        if not self.is_committed(name):
-            raise ValueError(f"table {name!r} has no base commit to append to")
         spark = df.sparkSession
+        if not self.is_committed(name, spark):
+            raise ValueError(f"table {name!r} has no base commit to append to")
         tdir = self._dir(name)
-        meta = self._read_marker(name)
-        if meta.get("partition_by"):
+        ledger = self._ledger_read(name)
+        if self.backend == "marker" and ledger.get("partition_by"):
             raise NotImplementedError(
                 f"append to {name!r}: the base commit is hive-partitioned by "
-                f"{meta['partition_by']} and flat batch dirs cannot be mixed "
+                f"{ledger['partition_by']} and flat batch dirs cannot be mixed "
                 "into a partitioned layout"
             )
-        # schema guard against the BASE dir only (one footer read — batches
-        # share its schema by induction; reading the whole table here would
-        # make the guard O(#batches) per append)
-        base_cols = set(spark.read.parquet(os.path.join(tdir, "data")).columns)
+        # schema guard against the BASE only (marker: one footer read;
+        # table: catalog metadata — batches share its schema by induction;
+        # reading the whole table here would make the guard O(#batches))
+        if self.backend == "marker":
+            base_cols = set(spark.read.parquet(os.path.join(tdir, "data")).columns)
+        else:
+            base_cols = set(spark.table(self._table_ident(name)).columns)
         if set(df.columns) != base_cols:
             raise ValueError(
                 f"append to {name!r} with mismatched columns: "
                 f"{sorted(df.columns)} vs committed {sorted(base_cols)}"
             )
         safe = "".join(c if c.isalnum() or c in "-_" else "_" for c in batch_id)
-        if safe in meta.get("compacted_batches", []):
+        if safe in ledger.get("compacted_batches", []):
             # this batch's rows were folded into the base by compact();
             # a crash-replay of it is a replace-nothing no-op (appending
             # would double-count rows already in the compacted base)
             return
         bdir = os.path.join(tdir, f"batch_{safe}")
-        batches = [b for b in meta.get("batches", []) if b != safe]
-        if len(batches) != len(meta.get("batches", [])):
+        batches = [b for b in ledger.get("batches", []) if b != safe]
+        if len(batches) != len(ledger.get("batches", [])):
             # replay of a known batch: retire it BEFORE touching its dir
-            self._write_marker(name, {**meta, "batches": batches})
+            self._ledger_write(name, {**ledger, "batches": batches})
+        os.makedirs(tdir, exist_ok=True)
         self._sweep_stale_staging(tdir)
         staging = os.path.join(tdir, f"_staging_{uuid.uuid4().hex[:8]}")
         df.write.mode("overwrite").parquet(staging)
         if os.path.exists(bdir):
             shutil.rmtree(bdir)
         os.replace(staging, bdir)
-        self._write_marker(name, {**meta, "batches": batches + [safe]})
-        df.sparkSession.catalog.refreshByPath(tdir)
+        self._ledger_write(name, {**ledger, "batches": batches + [safe]})
+        spark.catalog.refreshByPath(tdir)
+        if self.backend == "table":
+            spark.catalog.refreshTable(self._table_ident(name))
 
     def list_batches(self, name: str) -> list[str]:
-        if self.backend != "marker" or not self.is_committed(name):
+        if self.backend == "iceberg" or not self.is_committed(name):
             return []
-        return list(self._read_marker(name).get("batches", []))
+        return list(self._ledger_read(name).get("batches", []))
 
     def drop_batch(self, name: str, batch_id: str) -> None:
-        """Retire an appended batch: the marker entry goes first (atomic —
+        """Retire an appended batch: the ledger entry goes first (atomic —
         readers never see the dir disappear while it is still listed)."""
-        meta = self._read_marker(name)
-        self._write_marker(
+        ledger = self._ledger_read(name)
+        self._ledger_write(
             name,
-            {**meta, "batches": [b for b in meta.get("batches", []) if b != batch_id]},
+            {
+                **ledger,
+                "batches": [b for b in ledger.get("batches", []) if b != batch_id],
+            },
         )
         shutil.rmtree(
             os.path.join(self._dir(name), f"batch_{batch_id}"), ignore_errors=True
@@ -347,16 +435,18 @@ class Catalog:
         partition_by: list[str] | None = None
         meta: dict | None = None
         compacted: list[str] | None = None
-        if self.backend == "marker":
-            m = self._read_marker(name)
-            partition_by = m.get("partition_by") or None
-            meta = m.get("meta") or None
+        if self.backend in ("marker", "table"):
+            m = self._ledger_read(name)
             # batches folded into the new base are retired but REMEMBERED:
             # a crash-replay of one after compaction must be a no-op, not a
             # duplicate append (idempotent-replay contract)
             compacted = sorted(
                 set(m.get("batches", [])) | set(m.get("compacted_batches", []))
             ) or None
+        if self.backend == "marker":
+            m = self._read_marker(name)
+            partition_by = m.get("partition_by") or None
+            meta = m.get("meta") or None
         elif self.backend == "table":
             partition_by = [
                 c.name

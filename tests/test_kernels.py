@@ -314,6 +314,28 @@ def test_ascii_fold_han_frequency_weighted_agreement_rate():
         out = kernels.ascii_fold(c)
         assert out.endswith(" ") and out[:1].isupper() and out.isascii(), (c, out)
 
+    # TOKEN-FREQUENCY-WEIGHTED rate (r4 verdict task #4). The sandbox has
+    # no downloadable corpus counts, so the weight is the Zipf 1/rank proxy
+    # over the same public descending-rank list — running-text character
+    # frequencies are approximately Zipfian, and 1/rank is deterministic
+    # and fully stated (no invented counts). This makes the high-rank
+    # heteronym exclusions (了 at rank 5 alone carries ~3% of the mass)
+    # count at their true weight instead of 1/250th each.
+    weights = {c: 1.0 / (i + 1) for i, c in enumerate(_HAN_FREQ_TOP)}
+    total_w = sum(weights.values())
+    covered_w = sum(weights[c] for c in covered)
+    weighted_rate = covered_w / total_w
+    print(
+        f"\nHan fold agreement over top-{len(_HAN_FREQ_TOP)} running-text "
+        f"chars: unweighted {rate:.3f}, Zipf-1/rank-weighted "
+        f"{weighted_rate:.3f} (misses = documented heteronym exclusions: "
+        f"{''.join(missing)})"
+    )
+    # the weighted rate is NECESSARILY below the unweighted one (exclusions
+    # are high-rank by design); assert the honest floor
+    assert weighted_rate >= 0.90, (weighted_rate, missing)
+    assert weighted_rate <= rate
+
 
 def test_ascii_fold_unidecode_differential():
     """True agreement vs the reference's own library, when available (not in
