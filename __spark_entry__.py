@@ -2047,6 +2047,110 @@ def t14(spark, sf):
     return materialize_packs(d, pack_size=256).orderBy("source", "pack_id")
 
 
+_T15_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i + 1])) AS bigram
+  FROM toks WHERE len(t) >= 2
+), counts AS (
+  SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_bigrams,
+       round(CAST(max(c) AS DOUBLE) / sum(c), 3) AS top_bigram_frac,
+       round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+             / sum(c), 3) AS dup_bigram_frac
+FROM counts GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@_q("t15_repetition_metrics", _T15_ORACLE)
+def t15(spark, sf):
+    # Gopher-style intra-doc repetition quality signals (public filter
+    # family: Rae et al. 2021 report fraction-of-duplicate-n-grams and
+    # top-n-gram fraction as pretraining filters): per doc, the fraction of
+    # token bigrams occurring more than once and the share of the single
+    # most frequent bigram. All native — bigrams via zip_with of the token
+    # array against its own shift (no UDF), one explode + two hash aggs on
+    # doc_id; at 100 TB the fan-out is n_tokens per doc and both aggs
+    # partial-aggregate map-side. Docs with < 2 tokens have no bigram and
+    # are absent (the filter consumer treats them via the length rule).
+    d = _t(spark, sf, "documents")
+    toks = F.split(F.trim(F.col("text")), "[ \t\n\f\r]+")
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    counts = (
+        d.where(n >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.round(F.max("c").cast("double") / F.sum("c"), 3).alias(
+                "top_bigram_frac"
+            ),
+            F.round(
+                F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).cast(
+                    "double"
+                )
+                / F.sum("c"),
+                3,
+            ).alias("dup_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_T16_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 7),
+                               i -> array_to_string(t[i:i+7], ' '))) AS shingle
+  FROM toks WHERE len(t) >= 8
+), bench AS (
+  SELECT shingle, min(doc_id) AS bench_id FROM sh WHERE doc_id % 7 = 0
+  GROUP BY shingle
+), train AS (
+  SELECT DISTINCT doc_id, shingle FROM sh WHERE doc_id % 7 <> 0
+)
+SELECT train.doc_id,
+       CAST(count(*) AS BIGINT) AS n_hits,
+       min(bench.bench_id) AS first_bench_id
+FROM train JOIN bench USING (shingle)
+GROUP BY train.doc_id ORDER BY doc_id
+"""
+
+
+@_q("t16_decontamination", _T16_ORACLE)
+def t16(spark, sf):
+    # benchmark decontamination (the GPT-2/GPT-3-style n-gram hygiene
+    # step): train docs sharing any 8-token shingle with the synthetic
+    # benchmark split (doc_id % 7 == 0) are flagged with distinct-hit count
+    # and first matching benchmark doc. The bench shingle side is deduped
+    # then BROADCAST — at 10^12 docs the corpus never shuffles, the probe
+    # is map-side against the (small) eval suite.
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.operators.decontam import (
+        ngram_contamination,
+    )
+
+    d = _t(spark, sf, "documents")
+    bench = d.where(F.col("doc_id") % 7 == 0)
+    train = d.where(F.col("doc_id") % 7 != 0)
+    return ngram_contamination(train, bench, k=8).orderBy("doc_id")
+
+
 def _synthetic_works(spark, sf):
     """Nested OPENALEX_WORKS-shaped rows synthesized deterministically from
     the orders table (shared by the x6 and a8 queries and their oracles)."""
@@ -2676,6 +2780,8 @@ def t13(spark, sf):
 # CORRECTNESS rows; the long-green round-1..3 queries follow in their
 # original order.
 _PRIORITY = [
+    "t15_repetition_metrics",
+    "t16_decontamination",
     "t14_pack_materialize",
     "t11_sequence_packing_slices",
     "x6_corpus_filter",

@@ -560,3 +560,60 @@ def test_delta_embedding_near_dup_equals_full_pass(spark):
     assert delta == expected
     assert delta  # non-vacuous
     assert all(l not in old_ids or r not in old_ids for l, r in delta)
+
+
+def test_ngram_contamination_flags_and_clean_anti_join(spark):
+    """Decontamination: a train doc sharing any k-shingle with a bench doc
+    is flagged with the distinct-hit count and smallest bench id; docs with
+    no overlap (or shorter than k tokens) are absent, so the anti-join
+    yields the clean corpus."""
+    from pyspark.sql import functions as F
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.operators.decontam import (
+        ngram_contamination,
+    )
+
+    bench = spark.createDataFrame(
+        [
+            (900, "alpha beta gamma delta epsilon"),
+            (901, "one two three four five six"),
+        ],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # contains bench-900's full 5-gram once -> 1 distinct hit
+            (1, "prefix alpha beta gamma delta epsilon suffix"),
+            # two distinct windows overlap bench-901 ("one..five","two..six")
+            (2, "zz one two three four five six zz"),
+            # same 5-gram REPEATED: distinct-shingle count still 1
+            (3, "alpha beta gamma delta epsilon alpha beta gamma delta epsilon"),
+            (4, "totally unrelated text with no shared window at all here"),
+            (5, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_hits"], r["first_bench_id"])
+        for r in ngram_contamination(train, bench, k=5).collect()
+    }
+    assert got == {1: (1, 900), 2: (2, 901), 3: (1, 900)}
+    flags = ngram_contamination(train, bench, k=5)
+    clean = sorted(
+        r["doc_id"]
+        for r in train.join(flags, "doc_id", "left_anti").collect()
+    )
+    assert clean == [4, 5]
+
+    # a shingle present in BOTH bench docs reports the smaller bench id and
+    # still counts once per distinct train shingle
+    bench2 = bench.union(
+        spark.createDataFrame(
+            [(899, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+        )
+    )
+    got2 = {
+        r["doc_id"]: (r["n_hits"], r["first_bench_id"])
+        for r in ngram_contamination(train, bench2, k=5).collect()
+    }
+    assert got2[1] == (1, 899)
