@@ -2444,6 +2444,65 @@ ORDER BY left_id, right_id
 """
 
 
+def _x17_oracle() -> str:
+    # independent family-level recompute over the SAME blocking CTE chain
+    # as x10 (keys + 500-cap), aggregated per key-family instead of per
+    # pair: distinct pairs per family and the pairs no other family finds
+    return f"""
+WITH RECURSIVE
+{_blocking_allkeys_ctes()},
+kept AS (
+  SELECT id, side, key FROM allkeys
+  QUALIFY count(*) OVER (PARTITION BY key) <= 500
+),
+pf AS (
+  SELECT DISTINCT split_part(l.key, ':', 1) AS family,
+         l.id AS left_id, r.id AS right_id
+  FROM kept l JOIN kept r ON l.key = r.key
+  WHERE l.side = 'pkp' AND r.side = 'oa'
+),
+per_pair AS (
+  SELECT left_id, right_id, count(*) AS nf, min(family) AS family
+  FROM pf GROUP BY left_id, right_id
+),
+fam_keys AS (
+  SELECT split_part(key, ':', 1) AS family, count(DISTINCT key) AS n_keys
+  FROM kept GROUP BY 1
+),
+fam_pairs AS (SELECT family, count(*) AS n_pairs FROM pf GROUP BY family),
+fam_excl AS (
+  SELECT family, count(*) AS n_exclusive FROM per_pair WHERE nf = 1
+  GROUP BY family
+)
+SELECT k.family, CAST(k.n_keys AS BIGINT) AS n_keys,
+       CAST(coalesce(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(coalesce(e.n_exclusive, 0) AS BIGINT) AS n_exclusive_pairs
+FROM fam_keys k
+LEFT JOIN fam_pairs p USING (family)
+LEFT JOIN fam_excl e USING (family)
+ORDER BY family
+"""
+
+
+@_q("x17_blocking_family_quality", _x17_oracle())
+def x17(spark, sf):
+    # blocking-family ROI: distinct pairs per family + each family's
+    # EXCLUSIVE pairs (found by no other family). The diagnostic that says
+    # which join leg is pure redundancy at 10^12 docs; pairs with
+    # a11_match_rate_by_family for the label-side view.
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.operators import (
+        blocking,
+        extract,
+        pairs,
+    )
+
+    docs = wrap_documents_as_spans(_t(spark, sf, "documents"))
+    keys = blocking.blocking_keys(extract.extract_records(docs))
+    return pairs.blocking_family_quality(keys, max_block_size=500).orderBy(
+        "family"
+    )
+
+
 @_q("x10_delta_candidate_pairs", _x10_oracle())
 def x10(spark, sf):
     # the incremental path's delta join, value-verified: old x old is never
@@ -2780,6 +2839,7 @@ def t13(spark, sf):
 # CORRECTNESS rows; the long-green round-1..3 queries follow in their
 # original order.
 _PRIORITY = [
+    "x17_blocking_family_quality",
     "t15_repetition_metrics",
     "t16_decontamination",
     "t14_pack_materialize",

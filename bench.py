@@ -48,6 +48,10 @@ HEADLINE = [
     # native) and the incremental block-then-verify near-dup
     "t11_sequence_packing_slices",
     "x13_delta_ngram_jaccard",
+    # r5 entries: pack materialization (bounded-state groupBy) and the
+    # broadcast decontamination probe
+    "t14_pack_materialize",
+    "t16_decontamination",
 ]
 
 

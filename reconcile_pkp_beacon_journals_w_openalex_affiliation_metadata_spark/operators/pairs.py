@@ -117,6 +117,68 @@ def _pair_join(
     return cold.unionByName(hot)
 
 
+def blocking_family_quality(
+    keys: DataFrame,
+    n_salts: int = DEFAULT_N_SALTS,
+    hot_pair_threshold: int = 1_000_000,
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """Per-blocking-family quality diagnostics: which key families earn
+    their cost. One row per family (the key prefix before ':'):
+
+    - n_keys: distinct surviving keys (post oversized-block drop),
+    - n_pairs: distinct candidate pairs this family emits,
+    - n_exclusive_pairs: pairs found by NO other family — the family's
+      unique contribution. A family whose exclusive count is ~0 is pure
+      redundancy: at 10^12 docs dropping it removes a whole join leg
+      (and its shuffle) without losing a single candidate. The classic ER
+      blocking-evaluation pair to this is pair-completeness vs labeled
+      matches — a11_match_rate_by_family covers the label-side view.
+
+    Same measured-then-flagged chain as candidate_pairs (shared helpers),
+    so the diagnostic reflects the join the engine would actually run,
+    caps and salting included. Cost: the pair join once + two hash aggs on
+    (pair) / (family) — no new shuffle shape beyond the join itself.
+    """
+    sizes = block_size_metrics(keys)
+    dropped, hot = _exceptional_lists(sizes, hot_pair_threshold, max_block_size)
+    k = _apply_flags(keys, dropped, hot)
+    pj = _pair_join(
+        _side(k, "pkp", "left_id"), _side(k, "oa", "right_id"),
+        n_salts, bool(hot),
+    )
+    fam = F.substring_index("key", ":", 1)
+    pf = (
+        pj.select(fam.alias("family"), "left_id", "right_id")
+        .distinct()
+        .persist()
+    )
+    per_pair = pf.groupBy("left_id", "right_id").agg(
+        F.count("*").alias("nf"), F.min("family").alias("family")
+    )
+    fam_keys = k.groupBy(fam.alias("family")).agg(
+        F.countDistinct("key").alias("n_keys")
+    )
+    fam_pairs = pf.groupBy("family").agg(F.count("*").alias("n_pairs"))
+    fam_excl = (
+        per_pair.where(F.col("nf") == 1)
+        .groupBy("family")
+        .agg(F.count("*").alias("n_exclusive"))
+    )
+    return (
+        fam_keys.join(fam_pairs, "family", "left")
+        .join(fam_excl, "family", "left")
+        .select(
+            "family",
+            F.col("n_keys").cast("long").alias("n_keys"),
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_exclusive", F.lit(0)).cast("long").alias(
+                "n_exclusive_pairs"
+            ),
+        )
+    )
+
+
 def _dedup_pairs(pairs: DataFrame) -> DataFrame:
     return pairs.groupBy("left_id", "right_id").agg(
         F.min("key").alias("blocking_key"),

@@ -111,3 +111,39 @@ def test_broadcast_fallback_empty_hot_no_placeholder(spark):
         ("oa:1", ""): False,
         ("pkp:2", "keep:x"): False,
     }
+
+
+def test_blocking_family_quality_counts(spark):
+    """Family ROI diagnostic: n_pairs counts distinct pairs per family,
+    n_exclusive_pairs only those no other family finds, and dropped
+    oversized blocks disappear from both key and pair counts."""
+    from pyspark.sql import functions as F
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.operators import (
+        pairs,
+    )
+
+    rows = [
+        # issn:A pairs (p1,o1); band:B ALSO pairs (p1,o1) -> not exclusive
+        ("p1", "pkp", "issn:A"), ("o1", "oa", "issn:A"),
+        ("p1", "pkp", "band:B"), ("o1", "oa", "band:B"),
+        # band:C pairs (p2,o2) exclusively
+        ("p2", "pkp", "band:C"), ("o2", "oa", "band:C"),
+        # domain:D is one-sided -> keys but zero pairs
+        ("p3", "pkp", "domain:D"),
+        # band:E is oversized (3 members > cap 2) -> dropped entirely
+        ("p4", "pkp", "band:E"), ("o4", "oa", "band:E"), ("o5", "oa", "band:E"),
+    ]
+    keys = spark.createDataFrame(rows, "doc_id string, side string, key string")
+    got = {
+        r["family"]: (r["n_keys"], r["n_pairs"], r["n_exclusive_pairs"])
+        for r in pairs.blocking_family_quality(keys, max_block_size=2).collect()
+    }
+    assert got == {
+        "issn": (1, 1, 0),    # (p1,o1) shared with band
+        "band": (2, 2, 1),    # (p1,o1) + exclusive (p2,o2); band:E dropped
+        "domain": (1, 0, 0),  # key exists, no counterpart side
+    }
+    # sanity: family pair totals reconcile with the candidate join itself
+    cand = pairs.candidate_pairs(keys, max_block_size=2)
+    assert cand.count() == 2
