@@ -92,6 +92,14 @@ _Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _O: dict[str, str] = {}
 
 
+def _derive_sql(base: str, old: str, new: str) -> str:
+    """Rewrite a sibling oracle's SQL, failing loudly if the anchor text is
+    gone (a silent no-op would degrade a derived oracle to its base)."""
+    out = base.replace(old, new)
+    assert out != base, f"oracle derivation anchor not found: {old!r}"
+    return out
+
+
 def _q(name: str, oracle: str | None = None):
     def deco(fn):
         _Q[name] = fn
@@ -2151,6 +2159,58 @@ def t16(spark, sf):
     return ngram_contamination(train, bench, k=8).orderBy("doc_id")
 
 
+def _t17_oracle() -> str:
+    # the full training-data pipeline composed in one query: t13's
+    # recursive-closure decisions -> NOT IN anti-join -> the exact t14 pack
+    # chain over the CLEAN corpus (derived from _T14_ORACLE so the two can
+    # never drift)
+    pack_chain = _derive_sql(_T14_ORACLE, "FROM documents", "FROM clean")
+    pack_chain = _derive_sql(pack_chain.strip(), "WITH toks AS", "toks AS")
+    return f"""
+WITH RECURSIVE
+{_lsh_candidate_ctes(10_000)},
+und AS (
+  SELECT left_id AS u, right_id AS v FROM cand
+  UNION SELECT right_id, left_id FROM cand
+),
+reach(node, r) AS (
+  SELECT u, v FROM und UNION SELECT u, u FROM und
+  UNION
+  SELECT reach.node, und.v FROM reach JOIN und ON reach.r = und.u
+),
+assign AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+clean AS (
+  SELECT * FROM documents
+  WHERE doc_id NOT IN (SELECT node FROM assign WHERE node <> cluster_id)
+),
+{pack_chain}
+"""
+
+
+@_q("t17_dedup_then_pack", _t17_oracle())
+def t17(spark, sf):
+    # END-TO-END training-data pipeline: near-dup decision table (CC
+    # labels) -> one anti-join -> per-pack token materialization. The shape
+    # a 10^12-doc pretraining corpus actually ships through: dedup is a
+    # broadcast-able drop list, packing is one bounded-state groupBy —
+    # composed from the same production operators t13 and t14 verify
+    # individually.
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.operators.dedup import (
+        dedup_decisions,
+    )
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.operators.packing import (
+        materialize_packs,
+    )
+
+    d = _t(spark, sf, "documents")
+    drop = dedup_decisions(
+        d, id_col="doc_id", text_col="text",
+        num_perm=64, bands=16, shingle_k=3, max_band_size=10_000,
+    )
+    clean = d.join(drop.select("doc_id"), "doc_id", "left_anti")
+    return materialize_packs(clean, pack_size=256).orderBy("source", "pack_id")
+
+
 def _synthetic_works(spark, sf):
     """Nested OPENALEX_WORKS-shaped rows synthesized deterministically from
     the orders table (shared by the x6 and a8 queries and their oracles)."""
@@ -2558,14 +2618,6 @@ def x11(spark, sf):
     ).orderBy("left_id", "right_id")
 
 
-def _derive_sql(base: str, old: str, new: str) -> str:
-    """Rewrite a sibling oracle's SQL, failing loudly if the anchor text is
-    gone (a silent no-op would degrade a delta oracle to the full pass)."""
-    out = base.replace(old, new)
-    assert out != base, f"oracle derivation anchor not found: {old!r}"
-    return out
-
-
 def _x12_oracle() -> str:
     # delta == the full simhash pass restricted to pairs with >= 1 new
     # endpoint (doc_id % 4 == 0). The pigeonhole block split is a COMPLETE
@@ -2839,6 +2891,7 @@ def t13(spark, sf):
 # CORRECTNESS rows; the long-green round-1..3 queries follow in their
 # original order.
 _PRIORITY = [
+    "t17_dedup_then_pack",
     "x17_blocking_family_quality",
     "t15_repetition_metrics",
     "t16_decontamination",
