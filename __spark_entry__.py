@@ -2159,6 +2159,34 @@ def t16(spark, sf):
     return ngram_contamination(train, bench, k=8).orderBy("doc_id")
 
 
+def _x18_oracle() -> str:
+    # delta == the full t16 pass with the train side restricted to the new
+    # batch (doc_id % 4 == 0, train only — bench membership unchanged)
+    return _derive_sql(
+        _T16_ORACLE,
+        "SELECT DISTINCT doc_id, shingle FROM sh WHERE doc_id % 7 <> 0",
+        "SELECT DISTINCT doc_id, shingle FROM sh\n"
+        "  WHERE doc_id % 7 <> 0 AND doc_id % 4 = 0",
+    )
+
+
+@_q("x18_delta_decontamination", _x18_oracle())
+def x18(spark, sf):
+    # incremental decontamination: only the NEW batch (doc_id % 4 == 0) is
+    # shingled and probed against the broadcast bench set — the O(batch)
+    # ingest-time hygiene check (the committed corpus is never rescanned;
+    # same contract as every other delta family). Identical operator, new
+    # train side.
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.operators.decontam import (
+        ngram_contamination,
+    )
+
+    d = _t(spark, sf, "documents")
+    bench = d.where(F.col("doc_id") % 7 == 0)
+    new_batch = d.where((F.col("doc_id") % 7 != 0) & (F.col("doc_id") % 4 == 0))
+    return ngram_contamination(new_batch, bench, k=8).orderBy("doc_id")
+
+
 def _t17_oracle() -> str:
     # the full training-data pipeline composed in one query: t13's
     # recursive-closure decisions -> NOT IN anti-join -> the exact t14 pack
@@ -2891,6 +2919,7 @@ def t13(spark, sf):
 # CORRECTNESS rows; the long-green round-1..3 queries follow in their
 # original order.
 _PRIORITY = [
+    "x18_delta_decontamination",
     "t17_dedup_then_pack",
     "x17_blocking_family_quality",
     "t15_repetition_metrics",
