@@ -2087,16 +2087,20 @@ def t15(spark, sf):
     # partial-aggregate map-side. Docs with < 2 tokens have no bigram and
     # are absent (the filter consumer treats them via the length rule).
     d = _t(spark, sf, "documents")
-    toks = F.split(F.trim(F.col("text")), "[ \t\n\f\r]+")
-    n = F.size(toks)
+    # tokens materialized once per row (the split would otherwise be
+    # re-evaluated for each of the four references below)
+    base = d.select(
+        "doc_id",
+        F.split(F.trim(F.col("text")), "[ \t\n\f\r]+").alias("toks"),
+    ).where(F.size("toks") >= 2)
+    n = F.size(F.col("toks"))
     bigrams = F.zip_with(
-        F.slice(toks, 1, n - 1),
-        F.slice(toks, 2, n - 1),
+        F.slice("toks", 1, n - 1),
+        F.slice("toks", 2, n - 1),
         lambda a, b: F.concat_ws(" ", a, b),
     )
     counts = (
-        d.where(n >= 2)
-        .select("doc_id", F.explode(bigrams).alias("bigram"))
+        base.select("doc_id", F.explode(bigrams).alias("bigram"))
         .groupBy("doc_id", "bigram")
         .agg(F.count("*").alias("c"))
     )
