@@ -2163,6 +2163,67 @@ def t16(spark, sf):
     return ngram_contamination(train, bench, k=8).orderBy("doc_id")
 
 
+_T18_ORACLE = """
+WITH contacts AS (
+  SELECT c_custkey,
+         'reach ' || c_name || ' at c' || CAST(c_custkey AS VARCHAR)
+           || '@example.org or https://ex.org/u/'
+           || CAST(c_custkey AS VARCHAR)
+           || CASE WHEN c_custkey % 3 = 0
+                   THEN ' and backup.c' || CAST(c_custkey AS VARCHAR)
+                        || '@mail.example.com'
+                   ELSE '' END
+           || ' note ' || c_mktsegment AS text
+  FROM customer
+)
+SELECT c_custkey,
+       CAST(len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text,
+            'https?://[^ \\t\\n\\r\\f]+')) AS BIGINT) AS n_urls,
+       regexp_replace(regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            'https?://[^ \\t\\n\\r\\f]+', '<URL>', 'g') AS redacted
+FROM contacts ORDER BY c_custkey
+"""
+
+
+@_q("t18_pii_redaction", _T18_ORACLE)
+def t18(spark, sf):
+    # PII masking (the standard pretraining scrub): emails then URLs to
+    # typed placeholders, counts for lineage from the original text.
+    # Contact strings are synthesized deterministically from the customer
+    # table (every row carries >= 1 email + 1 URL, a third carry two) so
+    # the oracle exercises real matches, not an all-zero pass. Patterns
+    # are lookaround-free so Java regex and RE2 agree byte-for-byte.
+    # Pure native regexp column ops — codegen the whole way at 100 TB.
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.functions.native import (
+        pii_counts,
+        redact_pii,
+    )
+
+    c = _t(spark, sf, "customer")
+    key = F.col("c_custkey").cast("string")
+    text = F.concat(
+        F.lit("reach "), F.col("c_name"), F.lit(" at c"), key,
+        F.lit("@example.org or https://ex.org/u/"), key,
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(F.lit(" and backup.c"), key, F.lit("@mail.example.com")),
+        ).otherwise(F.lit("")),
+        F.lit(" note "), F.col("c_mktsegment"),
+    )
+    contacts = c.select("c_custkey", text.alias("text"))
+    n_emails, n_urls = pii_counts(F.col("text"))
+    return contacts.select(
+        "c_custkey",
+        n_emails.cast("long").alias("n_emails"),
+        n_urls.cast("long").alias("n_urls"),
+        redact_pii(F.col("text")).alias("redacted"),
+    ).orderBy("c_custkey")
+
+
 def _x18_oracle() -> str:
     # delta == the full t16 pass with the train side restricted to the new
     # batch (doc_id % 4 == 0, train only — bench membership unchanged)
@@ -2923,6 +2984,7 @@ def t13(spark, sf):
 # CORRECTNESS rows; the long-green round-1..3 queries follow in their
 # original order.
 _PRIORITY = [
+    "t18_pii_redaction",
     "x18_delta_decontamination",
     "t17_dedup_then_pack",
     "x17_blocking_family_quality",

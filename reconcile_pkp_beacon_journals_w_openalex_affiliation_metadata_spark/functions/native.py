@@ -150,3 +150,26 @@ def normalize_issn(issn: Column) -> Column:
     """ISSN blocking key: strip non-alnum, upper (X check digit), 8 chars or null."""
     x = F.upper(F.regexp_replace(issn, r"[^0-9Xx]", ""))
     return F.when(F.length(x) == 8, x)
+
+
+# --- PII masking (training-data hygiene; conservative lookaround-free
+# patterns so Java regex (Spark) and RE2 (DuckDB oracle / pyarrow) agree) --
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^ \t\n\r\f]+"
+
+
+def redact_pii(text: Column) -> Column:
+    """Mask emails then URLs with typed placeholders — the standard
+    pretraining scrub. Email pass runs first (the placeholder contains no
+    URL-shaped text, so the passes cannot interfere); counts for lineage
+    come from :func:`pii_counts` over the ORIGINAL column."""
+    x = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(x, URL_RE, "<URL>")
+
+
+def pii_counts(text: Column) -> tuple[Column, Column]:
+    """(n_emails, n_urls) match counts in the original text."""
+    return (
+        F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), 0)),
+        F.size(F.regexp_extract_all(text, F.lit(URL_RE), 0)),
+    )

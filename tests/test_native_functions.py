@@ -92,3 +92,40 @@ def test_csv_sink_roundtrip(spark, tmp_path):
     )
     back = read_csv(spark, p, schema)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_redact_pii_and_counts(spark):
+    """PII masking: emails then URLs to typed placeholders; counts from the
+    original text; non-PII text untouched; patterns agree with Python re."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.functions import (
+        native,
+    )
+
+    rows = [
+        (1, "mail a.b+c@x.co.uk or see https://ex.org/p?q=1 now"),
+        (2, "no contact info here at all"),
+        (3, "two: x@y.io and z@w.ai plus http://plain.example"),
+        (4, "edge trailing@dot. and bare http:// nothing"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    n_emails, n_urls = native.pii_counts(F.col("text"))
+    got = {
+        r["id"]: (r["ne"], r["nu"], r["red"])
+        for r in df.select(
+            "id", n_emails.alias("ne"), n_urls.alias("nu"),
+            native.redact_pii(F.col("text")).alias("red"),
+        ).collect()
+    }
+    # python-re reference (same pattern strings)
+    for i, t in rows:
+        ne = len(re.findall(native.EMAIL_RE, t))
+        nu = len(re.findall(native.URL_RE, t))
+        red = re.sub(native.URL_RE, "<URL>", re.sub(native.EMAIL_RE, "<EMAIL>", t))
+        assert got[i] == (ne, nu, red), (i, got[i], (ne, nu, red))
+    assert got[1][0] == 1 and got[1][1] == 1 and "<EMAIL>" in got[1][2]
+    assert got[2] == (0, 0, rows[1][1])
+    assert got[3][:2] == (2, 1)
