@@ -1912,6 +1912,100 @@ def o6(spark, sf):
     )
 
 
+_O7_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY
+              md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS cum_tokens
+  FROM toks
+)
+SELECT doc_id, source, n_tokens, cum_tokens
+FROM cum WHERE cum_tokens <= 800 ORDER BY source, doc_id
+"""
+
+
+@_q("o7_token_budget_sample", _O7_ORACLE)
+def o7(spark, sf):
+    # token-BUDGET subsample (the data-mixing knob a pretraining recipe
+    # actually turns: "at most B tokens from this source"): docs admitted
+    # in content-hash order until the stratum's running token total hits
+    # the budget — deterministic across runs/executor counts, and the cut
+    # is exact in tokens rather than documents (o6 is the per-doc-count
+    # twin). One window on the stratum key, no global sort.
+    from pyspark.sql import Window
+
+    d = _t(spark, sf, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), "[ \t\n\f\r]+")).cast("long")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    cum = d.select("doc_id", "source", n_tok.alias("n_tokens")).withColumn(
+        "cum_tokens", F.sum("n_tokens").over(w)
+    )
+    return (
+        cum.where(F.col("cum_tokens") <= 800)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+        .orderBy("source", "doc_id")
+    )
+
+
+_F21_ORACLE = """
+WITH iss AS (
+  SELECT p_partkey,
+         lpad(CAST(p_partkey % 10000000 AS VARCHAR), 7, '0')
+           || CASE WHEN p_partkey % 11 = 10 THEN 'X'
+                   ELSE CAST(p_partkey % 11 AS VARCHAR) END AS issn8
+  FROM part
+), calc AS (
+  SELECT p_partkey, issn8,
+         (11 - (CAST(substr(issn8, 1, 1) AS INT) * 8
+              + CAST(substr(issn8, 2, 1) AS INT) * 7
+              + CAST(substr(issn8, 3, 1) AS INT) * 6
+              + CAST(substr(issn8, 4, 1) AS INT) * 5
+              + CAST(substr(issn8, 5, 1) AS INT) * 4
+              + CAST(substr(issn8, 6, 1) AS INT) * 3
+              + CAST(substr(issn8, 7, 1) AS INT) * 2) % 11) % 11 AS chk
+  FROM iss
+)
+SELECT p_partkey, issn8,
+       (CASE WHEN chk = 10 THEN 'X' ELSE CAST(chk AS VARCHAR) END)
+         = substr(issn8, 8, 1) AS is_valid
+FROM calc ORDER BY p_partkey
+"""
+
+
+@_q("f21_issn_check_digit", _F21_ORACLE)
+def f21(spark, sf):
+    # ISO 3297 mod-11 check-digit validation: a blocking key built from an
+    # ISSN that fails its own checksum is a typo, not an identifier —
+    # pairing on it manufactures candidate garbage. Synthetic ISSNs carry a
+    # data-dependent final digit (p_partkey % 11, 'X' for 10) so ~1/11 of
+    # rows validate and the oracle recomputes the checksum independently.
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.functions.native import (
+        issn_check_valid,
+    )
+
+    p = _t(spark, sf, "part")
+    issn8 = F.concat(
+        F.lpad((F.col("p_partkey") % 10000000).cast("string"), 7, "0"),
+        F.when(F.col("p_partkey") % 11 == 10, F.lit("X")).otherwise(
+            (F.col("p_partkey") % 11).cast("string")
+        ),
+    )
+    return (
+        p.select("p_partkey", issn8.alias("issn8"))
+        .select(
+            "p_partkey", "issn8",
+            issn_check_valid(F.col("issn8")).alias("is_valid"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
 _T10_ORACLE = """
 WITH toks AS (
   SELECT doc_id, source,
@@ -2984,6 +3078,8 @@ def t13(spark, sf):
 # CORRECTNESS rows; the long-green round-1..3 queries follow in their
 # original order.
 _PRIORITY = [
+    "o7_token_budget_sample",
+    "f21_issn_check_digit",
     "t18_pii_redaction",
     "x18_delta_decontamination",
     "t17_dedup_then_pack",

@@ -152,6 +152,29 @@ def normalize_issn(issn: Column) -> Column:
     return F.when(F.length(x) == 8, x)
 
 
+def issn_check_valid(issn8: Column) -> Column:
+    """ISO 3297 check-digit validation over a normalized 8-char ISSN.
+
+    sum(d_i * (8 - i)) for the first 7 digits, check = (11 - sum mod 11)
+    mod 11, rendered 'X' for 10. A blocking key built from an ISSN that
+    fails its own checksum is a typo, not an identifier — pairing on it
+    manufactures candidate garbage, so the extractor can route invalid
+    ISSNs to the title/domain families instead. Null-safe: null/short
+    input yields null (unknown), never false.
+    """
+    digits = [F.substring(issn8, i + 1, 1).cast("int") for i in range(7)]
+    total = sum(
+        (d * F.lit(8 - i) for i, d in enumerate(digits)), F.lit(0)
+    )
+    check = (F.lit(11) - total % 11) % 11
+    expected = F.when(check == 10, F.lit("X")).otherwise(check.cast("string"))
+    return F.when(
+        issn8.isNotNull() & (F.length(issn8) == 8)
+        & issn8.rlike(r"^[0-9]{7}[0-9X]$"),
+        F.substring(issn8, 8, 1) == expected,
+    )
+
+
 # --- PII masking (training-data hygiene; conservative lookaround-free
 # patterns so Java regex (Spark) and RE2 (DuckDB oracle / pyarrow) agree) --
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

@@ -129,3 +129,31 @@ def test_redact_pii_and_counts(spark):
     assert got[1][0] == 1 and got[1][1] == 1 and "<EMAIL>" in got[1][2]
     assert got[2] == (0, 0, rows[1][1])
     assert got[3][:2] == (2, 1)
+
+
+def test_issn_check_digit_known_values(spark):
+    """ISO 3297 mod-11 check digit against published known-good ISSNs and
+    hand-corrupted variants; null-safe on malformed input."""
+    from pyspark.sql import functions as F
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.functions import (
+        native,
+    )
+
+    rows = [
+        (1, "03178471"),  # 0317-8471 (the ISO 3297 worked example) - valid
+        (2, "20493630"),  # 2049-3630 (ISSN of the ISSN standard) - valid
+        (3, "2434561X"),  # 2434-561X - valid, X check digit (sum 122 -> 10)
+        (4, "03178472"),  # corrupted check digit - invalid
+        (5, "2434561x"),  # lowercase x: not normalized - no verdict (null)
+        (6, "1234567"),   # 7 chars - null
+        (7, None),        # null in - null out
+    ]
+    df = spark.createDataFrame(rows, "id long, issn string")
+    got = {
+        r["id"]: r["ok"]
+        for r in df.select(
+            "id", native.issn_check_valid(F.col("issn")).alias("ok")
+        ).collect()
+    }
+    assert got == {1: True, 2: True, 3: True, 4: False, 5: None, 6: None, 7: None}
