@@ -7,10 +7,12 @@ both plus efficiency = (T_N / T_4N) / 4.
 
 Why 4/16 and not 8/32: the host carries bursty external tenant load
 (loadavg 6-15 with nothing local running) and clock scaling caps pure-CPU
-speedup; a burn test measures 4->16-process speedup at 3.42x (ceiling 0.86)
-vs 3.03x for 8->32 (ceiling 0.76). 16 cores also leaves headroom so the 4N
-leg is never oversubscribed by neighbors. Legs are interleaved and the min
-wall per leg is kept (the standard noise-robust estimator).
+speedup; burn tests measure the 4->16-process ceiling at 0.84-0.86
+efficiency per session (r3: 3.42x; r5: 3.36x — re-measure the ceiling in
+the SAME session as the legs, with >= 25 s burn legs: short legs
+understate it) vs ~0.76 for 8->32. 16 cores also leaves headroom so the
+4N leg is never oversubscribed by neighbors. Legs are interleaved and the
+min wall per leg is kept (the standard noise-robust estimator).
 
 Two measured layers, matching the engine's checkpointed-stage design (every
 stage reads a committed table and writes one — north_rule resumability):
