@@ -2398,6 +2398,40 @@ def t17(spark, sf):
     return materialize_packs(clean, pack_size=256).orderBy("source", "pack_id")
 
 
+def _x19_oracle() -> str:
+    # delta == the FULL t11 chain restricted to the appended batch
+    # (doc_id >= 400 — an append: every new id sorts after all committed
+    # ids in every stratum). Derived from the exact t11 SQL so the delta
+    # oracle cannot drift from the full-pass oracle.
+    return _derive_sql(
+        _T11_ORACLE,
+        "FROM cov ORDER BY source, doc_id, pack_id",
+        "FROM cov WHERE doc_id >= 400 ORDER BY source, doc_id, pack_id",
+    )
+
+
+@_q("x19_delta_pack_slices", _x19_oracle())
+def x19(spark, sf):
+    # O(batch) incremental packing: the committed corpus contributes ONE
+    # number per stratum (its token total); the appended batch windows over
+    # itself starting at that offset. Emitted rows equal the full rebuild's
+    # rows for exactly the new docs — the committed stream is never
+    # rescanned (the totals table here is derived inline for the oracle;
+    # production reads it from the catalog).
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.operators.packing import (
+        delta_pack_slices,
+        stratum_token_totals,
+    )
+
+    d = _t(spark, sf, "documents")
+    old = d.where(F.col("doc_id") < 400)
+    new = d.where(F.col("doc_id") >= 400)
+    totals = stratum_token_totals(old)
+    return delta_pack_slices(new, totals, pack_size=256).orderBy(
+        "source", "doc_id", "pack_id"
+    )
+
+
 def _synthetic_works(spark, sf):
     """Nested OPENALEX_WORKS-shaped rows synthesized deterministically from
     the orders table (shared by the x6 and a8 queries and their oracles)."""
@@ -3078,6 +3112,7 @@ def t13(spark, sf):
 # CORRECTNESS rows; the long-green round-1..3 queries follow in their
 # original order.
 _PRIORITY = [
+    "x19_delta_pack_slices",
     "o7_token_budget_sample",
     "f21_issn_check_digit",
     "t18_pii_redaction",

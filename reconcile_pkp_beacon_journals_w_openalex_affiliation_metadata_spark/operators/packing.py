@@ -69,6 +69,10 @@ def pack_slices(
     gaplessly and every pack is exactly full except the last per stratum.
     """
     cov = _coverage(docs, pack_size, id_col, stratum_col, text_col, False)
+    return _slice_select(cov, pack_size, id_col, stratum_col)
+
+
+def _slice_select(cov, pack_size: int, id_col: str, stratum_col: str) -> DataFrame:
     start_g = F.greatest(F.col("pack_id") * pack_size, F.col("tok_before"))
     end_g = F.least(
         (F.col("pack_id") + 1) * pack_size,
@@ -81,6 +85,61 @@ def pack_slices(
         (end_g - start_g).cast("long").alias("slice_len"),
         (start_g - F.col("pack_id") * pack_size).cast("long").alias("pack_offset"),
     )
+
+
+def stratum_token_totals(
+    docs: DataFrame,
+    stratum_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """(stratum, tok_total) — the committed stream length per stratum; the
+    only state ``delta_pack_slices`` needs from a 10^12-doc corpus."""
+    return docs.groupBy(stratum_col).agg(
+        F.sum(F.size(_tokens(text_col)).cast("long")).alias("tok_total")
+    )
+
+
+def delta_pack_slices(
+    new_docs: DataFrame,
+    stratum_totals: DataFrame,
+    pack_size: int = 256,
+    id_col: str = "doc_id",
+    stratum_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """O(batch) incremental packing: coverage rows for an APPENDED batch.
+
+    ``stratum_totals`` is the committed per-stratum token total (from
+    :func:`stratum_token_totals`, a one-row-per-stratum table a catalog
+    keeps alongside the pack manifest). Contract: the batch is an APPEND —
+    every new doc sorts after all committed docs of its stratum in the
+    ``id_col`` order (the t10/t11 stream order). Under that contract the
+    new docs' running sums simply start at the committed total, so the
+    emitted rows equal the full rebuild's rows for exactly the new docs
+    (pytest-gated), and the trailing partial pack of the committed stream
+    is naturally topped up by the first new slice. The committed corpus is
+    never rescanned: one window over the batch plus a broadcast join
+    against the #strata-row totals table.
+
+    New strata (no committed total) start at offset 0.
+    """
+    w = Window.partitionBy(stratum_col).orderBy(id_col)
+    base = (
+        new_docs.select(
+            id_col, stratum_col,
+            F.size(_tokens(text_col)).cast("long").alias("n_tokens"),
+        )
+        .join(F.broadcast(stratum_totals), stratum_col, "left")
+        .withColumn("tok_total", F.coalesce(F.col("tok_total"), F.lit(0)))
+    )
+    packed = base.withColumn(
+        "tok_before",
+        F.col("tok_total") + F.sum("n_tokens").over(w) - F.col("n_tokens"),
+    ).drop("tok_total")
+    first_p = F.floor(F.col("tok_before") / pack_size)
+    last_p = F.floor((F.col("tok_before") + F.col("n_tokens") - 1) / pack_size)
+    cov = packed.withColumn("pack_id", F.explode(F.sequence(first_p, last_p)))
+    return _slice_select(cov, pack_size, id_col, stratum_col)
 
 
 def materialize_packs(

@@ -138,3 +138,49 @@ def test_materialized_packs_reconstruct_stream(spark):
             t for (d, s2, t) in sorted(rows) if s2 == s
         )
         assert stream == expected, s
+
+
+def test_delta_pack_slices_equals_full_rebuild(spark):
+    """Incremental packing: for random append splits, delta_pack_slices over
+    (new batch + committed per-stratum totals) emits exactly the full
+    rebuild's coverage rows for the new docs — including the row that tops
+    up the committed stream's trailing partial pack; brand-new strata start
+    at offset 0."""
+    import random
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.operators.packing import (
+        delta_pack_slices,
+        pack_slices,
+        stratum_token_totals,
+    )
+
+    PACK = 64
+    for seed in range(3):
+        rng = random.Random(seed)
+        rows = []
+        did = 0
+        for s in ("a", "b", "c"):
+            for _ in range(rng.randint(2, 10)):
+                n = rng.randint(1, 3 * PACK)
+                rows.append((did, s, " ".join(f"d{did}w{j}" for j in range(n))))
+                did += 1
+        # stratum "d" exists ONLY in the new batch
+        split = rng.randint(1, did - 1)
+        rows_new_only = [(did, "d", " ".join(f"w{j}" for j in range(10)))]
+        df = spark.createDataFrame(
+            rows + rows_new_only, "doc_id long, source string, text string"
+        )
+        old = df.where(f"doc_id < {split}")
+        new = df.where(f"doc_id >= {split}")
+
+        full = pack_slices(df, pack_size=PACK)
+        want = sorted(
+            tuple(r) for r in full.where(f"doc_id >= {split}").collect()
+        )
+        got = sorted(
+            tuple(r)
+            for r in delta_pack_slices(
+                new, stratum_token_totals(old), pack_size=PACK
+            ).collect()
+        )
+        assert got == want, seed
