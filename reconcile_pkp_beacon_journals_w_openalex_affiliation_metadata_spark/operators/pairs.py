@@ -165,9 +165,11 @@ def blocking_family_quality(
         .groupBy("family")
         .agg(F.count("*").alias("n_exclusive"))
     )
+    # one row per key FAMILY on every side (a handful of rows even at
+    # 10^12 docs) — broadcast so the roll-up never sort-merge-shuffles
     return (
-        fam_keys.join(fam_pairs, "family", "left")
-        .join(fam_excl, "family", "left")
+        fam_keys.join(F.broadcast(fam_pairs), "family", "left")
+        .join(F.broadcast(fam_excl), "family", "left")
         .select(
             "family",
             F.col("n_keys").cast("long").alias("n_keys"),
