@@ -2432,6 +2432,70 @@ def x19(spark, sf):
     )
 
 
+def _x20_oracle() -> str:
+    # delta materialization == the FULL t14 chain restricted per stratum to
+    # pack_id >= the committed trailing pack id (tot//256, or tot//256 - 1
+    # when the committed stream ends exactly on a pack boundary); derived
+    # from the exact t14 SQL + an old-totals CTE
+    chain = _derive_sql(
+        _T14_ORACLE,
+        "WITH toks AS (",
+        "WITH old_tot AS (\n"
+        "  SELECT source,\n"
+        "         CAST(sum(len(string_split_regex(trim(text), '\\s+')))\n"
+        "              AS BIGINT) AS tot\n"
+        "  FROM documents WHERE doc_id < 400 GROUP BY source\n"
+        "), toks AS (",
+    )
+    chain = _derive_sql(
+        chain,
+        "SELECT source, pack_id,\n       string_agg",
+        ", packs AS (\nSELECT source, pack_id,\n       string_agg",
+    )
+    return _derive_sql(
+        chain,
+        "FROM sl GROUP BY source, pack_id ORDER BY source, pack_id",
+        "FROM sl GROUP BY source, pack_id)\n"
+        "SELECT p.source, p.pack_id, p.pack_text, p.pack_len\n"
+        "FROM packs p LEFT JOIN old_tot o USING (source)\n"
+        "WHERE p.pack_id >= coalesce(CASE WHEN o.tot % 256 = 0\n"
+        "                                 THEN o.tot // 256 - 1\n"
+        "                                 ELSE o.tot // 256 END, 0)\n"
+        "ORDER BY source, pack_id",
+    )
+
+
+@_q("x20_delta_materialize_packs", _x20_oracle())
+def x20(spark, sf):
+    # O(batch) incremental pack MATERIALIZATION: inputs beyond the batch
+    # are one token-total per stratum and the trailing committed pack per
+    # stratum (O(#strata) rows, here derived inline; production reads both
+    # from the catalog). Emits the trailing pack topped-up plus all later
+    # packs — a replace-by-(stratum, pack_id) upsert onto the manifest.
+    from pyspark.sql import Window
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.operators.packing import (
+        delta_materialize_packs,
+        materialize_packs,
+        stratum_token_totals,
+    )
+
+    d = _t(spark, sf, "documents")
+    old = d.where(F.col("doc_id") < 400)
+    new = d.where(F.col("doc_id") >= 400)
+    committed = materialize_packs(old, pack_size=256)
+    trailing = (
+        committed.withColumn(
+            "mx", F.max("pack_id").over(Window.partitionBy("source"))
+        )
+        .where(F.col("pack_id") == F.col("mx"))
+        .select("source", "pack_id", "pack_text")
+    )
+    return delta_materialize_packs(
+        new, stratum_token_totals(old), trailing, pack_size=256
+    ).orderBy("source", "pack_id")
+
+
 def _synthetic_works(spark, sf):
     """Nested OPENALEX_WORKS-shaped rows synthesized deterministically from
     the orders table (shared by the x6 and a8 queries and their oracles)."""
@@ -3112,6 +3176,7 @@ def t13(spark, sf):
 # CORRECTNESS rows; the long-green round-1..3 queries follow in their
 # original order.
 _PRIORITY = [
+    "x20_delta_materialize_packs",
     "x19_delta_pack_slices",
     "o7_token_budget_sample",
     "f21_issn_check_digit",

@@ -123,14 +123,29 @@ def delta_pack_slices(
 
     New strata (no committed total) start at offset 0.
     """
+    cov = _delta_coverage(
+        new_docs, stratum_totals, pack_size, id_col, stratum_col, text_col,
+        carry_tokens=False,
+    )
+    return _slice_select(cov, pack_size, id_col, stratum_col)
+
+
+def _delta_coverage(
+    new_docs, stratum_totals, pack_size, id_col, stratum_col, text_col,
+    carry_tokens: bool,
+):
     w = Window.partitionBy(stratum_col).orderBy(id_col)
-    base = (
-        new_docs.select(
-            id_col, stratum_col,
-            F.size(_tokens(text_col)).cast("long").alias("n_tokens"),
+    cols = [F.col(id_col), F.col(stratum_col)]
+    if carry_tokens:
+        cols.append(_tokens(text_col).alias("toks"))
+        base = new_docs.select(*cols).withColumn(
+            "n_tokens", F.size("toks").cast("long")
         )
-        .join(F.broadcast(stratum_totals), stratum_col, "left")
-        .withColumn("tok_total", F.coalesce(F.col("tok_total"), F.lit(0)))
+    else:
+        cols.append(F.size(_tokens(text_col)).cast("long").alias("n_tokens"))
+        base = new_docs.select(*cols)
+    base = base.join(F.broadcast(stratum_totals), stratum_col, "left").withColumn(
+        "tok_total", F.coalesce(F.col("tok_total"), F.lit(0))
     )
     packed = base.withColumn(
         "tok_before",
@@ -138,8 +153,70 @@ def delta_pack_slices(
     ).drop("tok_total")
     first_p = F.floor(F.col("tok_before") / pack_size)
     last_p = F.floor((F.col("tok_before") + F.col("n_tokens") - 1) / pack_size)
-    cov = packed.withColumn("pack_id", F.explode(F.sequence(first_p, last_p)))
-    return _slice_select(cov, pack_size, id_col, stratum_col)
+    return packed.withColumn("pack_id", F.explode(F.sequence(first_p, last_p)))
+
+
+def delta_materialize_packs(
+    new_docs: DataFrame,
+    stratum_totals: DataFrame,
+    trailing_packs: DataFrame,
+    pack_size: int = 256,
+    id_col: str = "doc_id",
+    stratum_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """O(batch) incremental pack MATERIALIZATION: the affected packs only.
+
+    Inputs beyond the batch: ``stratum_totals`` (one number per stratum,
+    see :func:`stratum_token_totals`) and ``trailing_packs`` — the LAST
+    committed pack per stratum in the t14 shape (stratum, pack_id,
+    pack_text), i.e. O(#strata) rows read back from the committed
+    manifest, never the corpus. Emits every pack whose pack_id >= the
+    stratum's trailing pack id (the trailing pack re-emitted topped-up
+    with the batch's first tokens — a full trailing pack is re-emitted
+    byte-identical) plus all packs of brand-new strata; committed packs
+    below the trailing id are untouched. Union with those = the full
+    rebuild's manifest (pytest-gated). Consumer applies it as a
+    replace-by-(stratum, pack_id) upsert — the same batch-replace shape as
+    the catalog's append protocol.
+    """
+    cov = _delta_coverage(
+        new_docs, stratum_totals, pack_size, id_col, stratum_col, text_col,
+        carry_tokens=True,
+    )
+    start_g = F.greatest(F.col("pack_id") * pack_size, F.col("tok_before"))
+    end_g = F.least(
+        (F.col("pack_id") + 1) * pack_size,
+        F.col("tok_before") + F.col("n_tokens"),
+    )
+    new_slices = cov.select(
+        F.col(stratum_col),
+        F.col("pack_id").cast("long").alias("pack_id"),
+        (start_g - F.col("pack_id") * pack_size).cast("long").alias("pack_offset"),
+        F.slice(
+            "toks",
+            (start_g - F.col("tok_before") + 1).cast("int"),
+            (end_g - start_g).cast("int"),
+        ).alias("slice_toks"),
+    )
+    # the committed trailing pack participates as a pseudo-slice at offset 0
+    trail_slices = trailing_packs.select(
+        F.col(stratum_col),
+        F.col("pack_id").cast("long").alias("pack_id"),
+        F.lit(0).cast("long").alias("pack_offset"),
+        F.split(F.col("pack_text"), " ").alias("slice_toks"),
+    )
+    parts = F.sort_array(F.collect_list(F.struct("pack_offset", "slice_toks")))
+    return (
+        new_slices.unionByName(trail_slices)
+        .groupBy(stratum_col, "pack_id")
+        .agg(F.flatten(parts.getField("slice_toks")).alias("pack_toks"))
+        .select(
+            stratum_col, "pack_id",
+            F.concat_ws(" ", "pack_toks").alias("pack_text"),
+            F.size("pack_toks").cast("long").alias("pack_len"),
+        )
+    )
 
 
 def materialize_packs(

@@ -184,3 +184,64 @@ def test_delta_pack_slices_equals_full_rebuild(spark):
             ).collect()
         )
         assert got == want, seed
+
+
+def test_delta_materialize_packs_equals_full_rebuild(spark):
+    """Incremental materialization: committed manifest below the trailing
+    pack untouched; delta emits the trailing pack (topped up) and all later
+    packs; union == full rebuild's manifest. Random append splits, strata
+    with full and partial trailing packs, plus a new-only stratum."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.operators.packing import (
+        delta_materialize_packs,
+        materialize_packs,
+        stratum_token_totals,
+    )
+
+    PACK = 64
+    for seed in range(3):
+        rng = random.Random(50 + seed)
+        rows = []
+        did = 0
+        for s in ("a", "b", "c"):
+            for _ in range(rng.randint(2, 9)):
+                n = rng.choice([PACK, rng.randint(1, 3 * PACK)])
+                rows.append((did, s, " ".join(f"d{did}w{j}" for j in range(n))))
+                did += 1
+        split = rng.randint(1, did - 1)
+        rows.append((did, "d", " ".join(f"w{j}" for j in range(PACK + 5))))
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        old = df.where(f"doc_id < {split}")
+        new = df.where(f"doc_id >= {split}")
+
+        full = materialize_packs(df, pack_size=PACK)
+        want = {(r["source"], r["pack_id"]): (r["pack_text"], r["pack_len"])
+                for r in full.collect()}
+
+        committed = materialize_packs(old, pack_size=PACK)
+        from pyspark.sql import Window
+
+        wlast = Window.partitionBy("source")
+        trailing = (
+            committed.withColumn("mx", F.max("pack_id").over(wlast))
+            .where(F.col("pack_id") == F.col("mx"))
+            .select("source", "pack_id", "pack_text")
+        )
+        delta = delta_materialize_packs(
+            new, stratum_token_totals(old), trailing, pack_size=PACK
+        )
+        got = {(r["source"], r["pack_id"]): (r["pack_text"], r["pack_len"])
+               for r in delta.collect()}
+
+        # apply as a replace-by-(stratum, pack_id) upsert over the manifest
+        merged = {(r["source"], r["pack_id"]): (r["pack_text"], r["pack_len"])
+                  for r in committed.collect()}
+        merged.update(got)
+        assert merged == want, seed
+        # the delta includes each stratum's trailing pack id and beyond only
+        trail_ids = {r["source"]: r["pack_id"] for r in trailing.collect()}
+        for (s, pid) in got:
+            assert pid >= trail_ids.get(s, 0), (seed, s, pid)
