@@ -94,9 +94,11 @@ _O: dict[str, str] = {}
 
 def _derive_sql(base: str, old: str, new: str) -> str:
     """Rewrite a sibling oracle's SQL, failing loudly if the anchor text is
-    gone (a silent no-op would degrade a derived oracle to its base)."""
+    gone (a silent no-op would degrade a derived oracle to its base).
+    An explicit raise, not assert: python -O must not strip the guard."""
     out = base.replace(old, new)
-    assert out != base, f"oracle derivation anchor not found: {old!r}"
+    if out == base:
+        raise ValueError(f"oracle derivation anchor not found: {old!r}")
     return out
 
 

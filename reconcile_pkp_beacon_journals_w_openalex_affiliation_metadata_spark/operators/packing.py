@@ -6,14 +6,22 @@ into one coverage row per (doc, pack) overlap. ``pack_slices`` emits the
 coverage table (who contributes which in-doc token range to which pack);
 ``materialize_packs`` emits the actual per-pack ordered token concatenation —
 the tensor-shaped deliverable a pretraining data loader consumes.
+``delta_pack_slices`` / ``delta_materialize_packs`` are the O(batch)
+incremental twins (committed corpus never rescanned).
 
 Scale shape: one shuffle on the stratum key for the running-sum window, a
-row-local ``sequence``+``explode`` whose fan-out is 1 + n_tokens/pack_size
-per doc, and (for materialization) one groupBy on (stratum, pack_id) whose
-state per key is bounded by pack_size tokens — no driver loops, no UDFs.
-Tokenization here is the whitespace splitter shared with the t1/t3 text
-metrics; swap ``_tokens`` for a real tokenizer column upstream and the
-packing math is unchanged.
+row-local explode whose fan-out is 1 + n_tokens/pack_size per doc, and (for
+materialization) one groupBy on (stratum, pack_id) whose state per key is
+bounded by pack_size tokens — no driver loops, no UDFs. On the
+materialization path the per-pack token slice is cut INSIDE the transform
+that builds the pack range, so each exploded row carries only its own
+<= pack_size tokens (exploding first and slicing after would duplicate the
+document's full token array once per covered pack — O(n_tokens^2/pack_size)
+churn for long docs). Tokenization here is the whitespace splitter shared
+with the t1/t3 text metrics; swap ``_tokens`` for a real tokenizer column
+upstream and the packing math is unchanged — including for tokenizers that
+can emit ZERO tokens for a non-empty doc (such docs are filtered before the
+pack-range math, which would otherwise generate a descending phantom range).
 """
 
 from __future__ import annotations
@@ -26,15 +34,17 @@ def _tokens(text_col: str):
     return F.split(F.trim(F.col(text_col)), "[ \t\n\f\r]+")
 
 
-def _coverage(
+def _packed(
     docs: DataFrame,
-    pack_size: int,
     id_col: str,
     stratum_col: str,
     text_col: str,
     carry_tokens: bool,
+    stratum_totals: DataFrame | None = None,
 ) -> DataFrame:
-    """Coverage rows with the window + explode chain shared by both APIs."""
+    """[id, stratum, (toks), n_tokens, tok_before] — the running-sum frame
+    shared by every packing API. ``stratum_totals`` (delta mode) offsets
+    each stratum's running sum by the committed stream length."""
     w = Window.partitionBy(stratum_col).orderBy(id_col)
     cols = [F.col(id_col), F.col(stratum_col)]
     if carry_tokens:
@@ -45,12 +55,92 @@ def _coverage(
     else:
         cols.append(F.size(_tokens(text_col)).cast("long").alias("n_tokens"))
         base = docs.select(*cols)
+    # a zero-token doc contributes nothing and must not reach the pack-range
+    # math (sequence(first_p, last_p) with last_p < first_p would generate a
+    # DESCENDING phantom range); unreachable under the whitespace splitter
+    # (split of any string yields >= 1 element) but real under pluggable
+    # tokenizers
+    base = base.where(F.col("n_tokens") > 0)
+    offset = F.lit(0).cast("long")
+    if stratum_totals is not None:
+        base = base.join(
+            F.broadcast(stratum_totals), stratum_col, "left"
+        ).withColumn("tok_total", F.coalesce(F.col("tok_total"), F.lit(0)))
+        offset = F.col("tok_total")
     packed = base.withColumn(
-        "tok_before", F.sum("n_tokens").over(w) - F.col("n_tokens")
+        "tok_before", offset + F.sum("n_tokens").over(w) - F.col("n_tokens")
     )
+    return packed.drop("tok_total") if stratum_totals is not None else packed
+
+
+def _pack_range(pack_size: int):
     first_p = F.floor(F.col("tok_before") / pack_size)
-    last_p = F.floor((F.col("tok_before") + F.col("n_tokens") - 1) / pack_size)
-    return packed.withColumn("pack_id", F.explode(F.sequence(first_p, last_p)))
+    last_p = F.floor(
+        (F.col("tok_before") + F.col("n_tokens") - 1) / pack_size
+    )
+    return first_p, last_p
+
+
+def _slice_rows(packed: DataFrame, pack_size: int, id_col: str, stratum_col: str) -> DataFrame:
+    """Count-only coverage rows (no token payload): explode the pack range,
+    then derive the slice arithmetic per row."""
+    first_p, last_p = _pack_range(pack_size)
+    cov = packed.withColumn("pack_id", F.explode(F.sequence(first_p, last_p)))
+    start_g = F.greatest(F.col("pack_id") * pack_size, F.col("tok_before"))
+    end_g = F.least(
+        (F.col("pack_id") + 1) * pack_size,
+        F.col("tok_before") + F.col("n_tokens"),
+    )
+    return cov.select(
+        id_col, stratum_col,
+        F.col("pack_id").cast("long").alias("pack_id"),
+        (start_g - F.col("tok_before")).cast("long").alias("slice_start"),
+        (end_g - start_g).cast("long").alias("slice_len"),
+        (start_g - F.col("pack_id") * pack_size).cast("long").alias("pack_offset"),
+    )
+
+
+def _token_slice_rows(packed: DataFrame, pack_size: int, stratum_col: str) -> DataFrame:
+    """(stratum, pack_id, pack_offset, slice_toks) with the slice cut
+    INSIDE the pack-range transform: each exploded row carries only its own
+    <= pack_size tokens, keeping per-doc work O(n_tokens)."""
+    first_p, last_p = _pack_range(pack_size)
+
+    def mk(pid):
+        start_g = F.greatest(pid * pack_size, F.col("tok_before"))
+        end_g = F.least(
+            (pid + 1) * pack_size, F.col("tok_before") + F.col("n_tokens")
+        )
+        return F.struct(
+            pid.cast("long").alias("pack_id"),
+            (start_g - pid * pack_size).cast("long").alias("pack_offset"),
+            F.slice(
+                "toks",
+                (start_g - F.col("tok_before") + 1).cast("int"),
+                (end_g - start_g).cast("int"),
+            ).alias("slice_toks"),
+        )
+
+    parts = F.transform(F.sequence(first_p, last_p), mk)
+    return packed.select(stratum_col, F.explode(parts).alias("pk")).select(
+        stratum_col,
+        F.col("pk.pack_id").alias("pack_id"),
+        F.col("pk.pack_offset").alias("pack_offset"),
+        F.col("pk.slice_toks").alias("slice_toks"),
+    )
+
+
+def _assemble_packs(slices: DataFrame, stratum_col: str) -> DataFrame:
+    parts = F.sort_array(F.collect_list(F.struct("pack_offset", "slice_toks")))
+    return (
+        slices.groupBy(stratum_col, "pack_id")
+        .agg(F.flatten(parts.getField("slice_toks")).alias("pack_toks"))
+        .select(
+            stratum_col, "pack_id",
+            F.concat_ws(" ", "pack_toks").alias("pack_text"),
+            F.size("pack_toks").cast("long").alias("pack_len"),
+        )
+    )
 
 
 def pack_slices(
@@ -68,22 +158,31 @@ def pack_slices(
     contiguously; per (stratum, pack) the offsets tile [0, pack_size)
     gaplessly and every pack is exactly full except the last per stratum.
     """
-    cov = _coverage(docs, pack_size, id_col, stratum_col, text_col, False)
-    return _slice_select(cov, pack_size, id_col, stratum_col)
+    packed = _packed(docs, id_col, stratum_col, text_col, False)
+    return _slice_rows(packed, pack_size, id_col, stratum_col)
 
 
-def _slice_select(cov, pack_size: int, id_col: str, stratum_col: str) -> DataFrame:
-    start_g = F.greatest(F.col("pack_id") * pack_size, F.col("tok_before"))
-    end_g = F.least(
-        (F.col("pack_id") + 1) * pack_size,
-        F.col("tok_before") + F.col("n_tokens"),
-    )
-    return cov.select(
-        id_col, stratum_col,
-        F.col("pack_id").cast("long").alias("pack_id"),
-        (start_g - F.col("tok_before")).cast("long").alias("slice_start"),
-        (end_g - start_g).cast("long").alias("slice_len"),
-        (start_g - F.col("pack_id") * pack_size).cast("long").alias("pack_offset"),
+def materialize_packs(
+    docs: DataFrame,
+    pack_size: int = 256,
+    id_col: str = "doc_id",
+    stratum_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-pack ordered concatenation — the actual pretraining deliverable.
+
+    One row per (stratum, pack_id) with ``pack_text`` (the pack's tokens in
+    stream order, space-joined) and ``pack_len`` (token count; == pack_size
+    for every pack except the trailing pack of each stratum). The slice
+    structs are assembled per pack with ``sort_array`` on pack_offset —
+    groupBy state is bounded by pack_size tokens per key regardless of
+    corpus size, so a 10^12-doc corpus packs with one bounded shuffle.
+    Tokens are carried through the window (no second join back to the
+    documents table).
+    """
+    packed = _packed(docs, id_col, stratum_col, text_col, True)
+    return _assemble_packs(
+        _token_slice_rows(packed, pack_size, stratum_col), stratum_col
     )
 
 
@@ -123,37 +222,10 @@ def delta_pack_slices(
 
     New strata (no committed total) start at offset 0.
     """
-    cov = _delta_coverage(
-        new_docs, stratum_totals, pack_size, id_col, stratum_col, text_col,
-        carry_tokens=False,
+    packed = _packed(
+        new_docs, id_col, stratum_col, text_col, False, stratum_totals
     )
-    return _slice_select(cov, pack_size, id_col, stratum_col)
-
-
-def _delta_coverage(
-    new_docs, stratum_totals, pack_size, id_col, stratum_col, text_col,
-    carry_tokens: bool,
-):
-    w = Window.partitionBy(stratum_col).orderBy(id_col)
-    cols = [F.col(id_col), F.col(stratum_col)]
-    if carry_tokens:
-        cols.append(_tokens(text_col).alias("toks"))
-        base = new_docs.select(*cols).withColumn(
-            "n_tokens", F.size("toks").cast("long")
-        )
-    else:
-        cols.append(F.size(_tokens(text_col)).cast("long").alias("n_tokens"))
-        base = new_docs.select(*cols)
-    base = base.join(F.broadcast(stratum_totals), stratum_col, "left").withColumn(
-        "tok_total", F.coalesce(F.col("tok_total"), F.lit(0))
-    )
-    packed = base.withColumn(
-        "tok_before",
-        F.col("tok_total") + F.sum("n_tokens").over(w) - F.col("n_tokens"),
-    ).drop("tok_total")
-    first_p = F.floor(F.col("tok_before") / pack_size)
-    last_p = F.floor((F.col("tok_before") + F.col("n_tokens") - 1) / pack_size)
-    return packed.withColumn("pack_id", F.explode(F.sequence(first_p, last_p)))
+    return _slice_rows(packed, pack_size, id_col, stratum_col)
 
 
 def delta_materialize_packs(
@@ -180,25 +252,10 @@ def delta_materialize_packs(
     replace-by-(stratum, pack_id) upsert — the same batch-replace shape as
     the catalog's append protocol.
     """
-    cov = _delta_coverage(
-        new_docs, stratum_totals, pack_size, id_col, stratum_col, text_col,
-        carry_tokens=True,
+    packed = _packed(
+        new_docs, id_col, stratum_col, text_col, True, stratum_totals
     )
-    start_g = F.greatest(F.col("pack_id") * pack_size, F.col("tok_before"))
-    end_g = F.least(
-        (F.col("pack_id") + 1) * pack_size,
-        F.col("tok_before") + F.col("n_tokens"),
-    )
-    new_slices = cov.select(
-        F.col(stratum_col),
-        F.col("pack_id").cast("long").alias("pack_id"),
-        (start_g - F.col("pack_id") * pack_size).cast("long").alias("pack_offset"),
-        F.slice(
-            "toks",
-            (start_g - F.col("tok_before") + 1).cast("int"),
-            (end_g - start_g).cast("int"),
-        ).alias("slice_toks"),
-    )
+    new_slices = _token_slice_rows(packed, pack_size, stratum_col)
     # the committed trailing pack participates as a pseudo-slice at offset 0
     trail_slices = trailing_packs.select(
         F.col(stratum_col),
@@ -206,60 +263,6 @@ def delta_materialize_packs(
         F.lit(0).cast("long").alias("pack_offset"),
         F.split(F.col("pack_text"), " ").alias("slice_toks"),
     )
-    parts = F.sort_array(F.collect_list(F.struct("pack_offset", "slice_toks")))
-    return (
-        new_slices.unionByName(trail_slices)
-        .groupBy(stratum_col, "pack_id")
-        .agg(F.flatten(parts.getField("slice_toks")).alias("pack_toks"))
-        .select(
-            stratum_col, "pack_id",
-            F.concat_ws(" ", "pack_toks").alias("pack_text"),
-            F.size("pack_toks").cast("long").alias("pack_len"),
-        )
-    )
-
-
-def materialize_packs(
-    docs: DataFrame,
-    pack_size: int = 256,
-    id_col: str = "doc_id",
-    stratum_col: str = "source",
-    text_col: str = "text",
-) -> DataFrame:
-    """Per-pack ordered concatenation — the actual pretraining deliverable.
-
-    One row per (stratum, pack_id) with ``pack_text`` (the pack's tokens in
-    stream order, space-joined) and ``pack_len`` (token count; == pack_size
-    for every pack except the trailing pack of each stratum). The slice
-    structs are assembled per pack with ``sort_array`` on pack_offset —
-    groupBy state is bounded by pack_size tokens per key regardless of
-    corpus size, so a 10^12-doc corpus packs with one bounded shuffle.
-    Tokens are carried through the window (no second join back to the
-    documents table).
-    """
-    cov = _coverage(docs, pack_size, id_col, stratum_col, text_col, True)
-    start_g = F.greatest(F.col("pack_id") * pack_size, F.col("tok_before"))
-    end_g = F.least(
-        (F.col("pack_id") + 1) * pack_size,
-        F.col("tok_before") + F.col("n_tokens"),
-    )
-    sl = cov.select(
-        F.col(stratum_col).alias(stratum_col),
-        F.col("pack_id").cast("long").alias("pack_id"),
-        (start_g - F.col("pack_id") * pack_size).cast("long").alias("pack_offset"),
-        F.slice(
-            "toks",
-            (start_g - F.col("tok_before") + 1).cast("int"),
-            (end_g - start_g).cast("int"),
-        ).alias("slice_toks"),
-    )
-    parts = F.sort_array(F.collect_list(F.struct("pack_offset", "slice_toks")))
-    return (
-        sl.groupBy(stratum_col, "pack_id")
-        .agg(F.flatten(parts.getField("slice_toks")).alias("pack_toks"))
-        .select(
-            stratum_col, "pack_id",
-            F.concat_ws(" ", "pack_toks").alias("pack_text"),
-            F.size("pack_toks").cast("long").alias("pack_len"),
-        )
+    return _assemble_packs(
+        new_slices.unionByName(trail_slices), stratum_col
     )

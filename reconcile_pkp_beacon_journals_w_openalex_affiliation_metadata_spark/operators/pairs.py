@@ -148,36 +148,39 @@ def blocking_family_quality(
         n_salts, bool(hot),
     )
     fam = F.substring_index("key", ":", 1)
-    pf = (
+    # single-pass roll-up: pair -> its family SET, exploded back with an
+    # exclusivity flag — one consumer per intermediate, so nothing needs
+    # persist/localCheckpoint (a cached plan here would pin executor
+    # storage for the session lifetime with no handle to release it)
+    per_pair = (
         pj.select(fam.alias("family"), "left_id", "right_id")
         .distinct()
-        .persist()
+        .groupBy("left_id", "right_id")
+        .agg(F.collect_set("family").alias("fams"))
     )
-    per_pair = pf.groupBy("left_id", "right_id").agg(
-        F.count("*").alias("nf"), F.min("family").alias("family")
+    fam_stats = (
+        per_pair.select(
+            F.explode("fams").alias("family"),
+            (F.size("fams") == 1).cast("long").alias("excl"),
+        )
+        .groupBy("family")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("excl").alias("n_exclusive"),
+        )
     )
     fam_keys = k.groupBy(fam.alias("family")).agg(
         F.countDistinct("key").alias("n_keys")
     )
-    fam_pairs = pf.groupBy("family").agg(F.count("*").alias("n_pairs"))
-    fam_excl = (
-        per_pair.where(F.col("nf") == 1)
-        .groupBy("family")
-        .agg(F.count("*").alias("n_exclusive"))
-    )
     # one row per key FAMILY on every side (a handful of rows even at
     # 10^12 docs) — broadcast so the roll-up never sort-merge-shuffles
-    return (
-        fam_keys.join(F.broadcast(fam_pairs), "family", "left")
-        .join(F.broadcast(fam_excl), "family", "left")
-        .select(
-            "family",
-            F.col("n_keys").cast("long").alias("n_keys"),
-            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
-            F.coalesce("n_exclusive", F.lit(0)).cast("long").alias(
-                "n_exclusive_pairs"
-            ),
-        )
+    return fam_keys.join(F.broadcast(fam_stats), "family", "left").select(
+        "family",
+        F.col("n_keys").cast("long").alias("n_keys"),
+        F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+        F.coalesce("n_exclusive", F.lit(0)).cast("long").alias(
+            "n_exclusive_pairs"
+        ),
     )
 
 

@@ -70,11 +70,41 @@ def incremental_reconcile(
     # absent from records never completed — and a replay may arrive with a
     # DIFFERENT batch composition (hence a different batch id), so the
     # batch-replace idempotence alone would leave the orphan's rows behind
-    rec_batches = set(cat.list_batches("records"))
+    # "committed to records" = live batch OR one compact() already folded
+    # into records' base: compacting records must not make fully-committed
+    # downstream batches look orphaned (they would be retired = data loss)
+    rec_ledger = (
+        cat._ledger_read("records") if cat.is_committed("records", spark) else {}
+    )
+    rec_batches = set(rec_ledger.get("batches", [])) | set(
+        rec_ledger.get("compacted_batches", [])
+    )
     for t in ("blocking_keys", "candidate_pairs", "scored"):
         for b in cat.list_batches(t):
             if b not in rec_batches:
                 cat.drop_batch(t, b)
+        # a compact() run between the crash and this replay would have
+        # FOLDED the orphaned batch into the table's base — its rows can
+        # no longer be retired, and re-appending the batch (possibly under
+        # a different id for a different composition) would double-count.
+        # Fail loudly instead of silently duplicating; the repair is a
+        # full rebuild of the affected table. compact()'s docstring tells
+        # operators to run a replay (which retires orphans) first.
+        folded_orphans = []
+        if cat.is_committed(t, spark):
+            folded_orphans = [
+                b
+                for b in cat._ledger_read(t).get("compacted_batches", [])
+                if b not in rec_batches
+            ]
+        if folded_orphans:
+            raise RuntimeError(
+                f"table {t!r}: batch(es) {folded_orphans} were compacted "
+                "into the base but never committed to 'records' — a "
+                "compact() ran over an orphaned (crashed) batch, which is "
+                "unretirable; rebuild the table before resuming "
+                "incremental ingestion"
+            )
 
     old_records = cat.read_committed(spark, "records")
     old_keys = cat.read_committed(spark, "blocking_keys")

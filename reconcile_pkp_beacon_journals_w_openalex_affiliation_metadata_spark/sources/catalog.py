@@ -140,11 +140,12 @@ class Catalog:
             #   ledger after — a crash in between double-counts until
             #   compact() is rerun (documented; Iceberg's snapshot commit
             #   is the atomic production answer).
-            ledger = (
-                self._ledger_read(name)
-                if self.is_committed(name, df.sparkSession)
-                else {}
-            )
+            # read the ledger FILE unconditionally: the catalog entry may be
+            # gone (crashed overwrite, external drop) while _BATCHES still
+            # lists batch dirs — skipping the reset then deleting the dirs
+            # below would leave a ledger pointing at missing paths and every
+            # subsequent read_committed raising on the dead parquet path
+            ledger = self._ledger_read(name)
             if compacted_batches is None and (
                 ledger.get("batches") or ledger.get("compacted_batches")
             ):
@@ -418,6 +419,14 @@ class Catalog:
         republished with the SAME partition_by (and, on the marker backend,
         the same marker meta) — compaction must never silently flatten a
         partitioned table and lose downstream partition pruning.
+
+        Appended batches are FOLDED into the new base and become
+        unretirable (their ids move to ``compacted_batches``). In a
+        multi-table batch protocol (plans/incremental.py: records commits
+        LAST), run a replay first so orphaned batches from a crashed run
+        are retired before they can be folded — compacting an orphan bakes
+        its rows in permanently, and the incremental plan will then refuse
+        to resume (loud RuntimeError) rather than double-count.
         """
         df = self.read_committed(spark, name)
         if df is None:

@@ -354,3 +354,28 @@ def test_compact_preserves_bucket_spec(spark, tmp_path):
     )
     assert before == after
     cat.drop("t", spark)
+
+
+def test_table_backend_stale_ledger_reset_even_when_unregistered(spark, tmp_path):
+    """CODE-REVIEW r5: if the catalog entry vanishes (crashed overwrite /
+    external drop) while _BATCHES still lists batch dirs, the next
+    write_committed must reset the ledger — otherwise it deletes the dirs
+    but leaves the ledger pointing at dead paths and every read raises."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.sources.catalog import (
+        Catalog,
+    )
+
+    cat = Catalog(str(tmp_path / "stale"), backend="table")
+    base = spark.range(0, 20).selectExpr("cast(id as string) as doc_id")
+    cat.write_committed(base, "t")
+    cat.append_committed(
+        spark.range(20, 25).selectExpr("cast(id as string) as doc_id"), "t", "b1"
+    )
+    assert cat.read_committed(spark, "t").count() == 25
+    # simulate the catalog entry disappearing while the ledger survives
+    spark.sql(f"DROP TABLE {cat._table_ident('t')}")
+    assert cat._ledger_read("t").get("batches") == ["b1"]
+    cat.write_committed(base, "t")
+    assert cat._ledger_read("t").get("batches", []) == []
+    assert cat.read_committed(spark, "t").count() == 20  # readable, no dead path
+    cat.drop("t", spark)

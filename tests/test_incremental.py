@@ -320,3 +320,40 @@ def test_crashed_batch_replayed_with_different_composition(
     rec_b = set(cat.list_batches("records"))
     for t in ("blocking_keys", "candidate_pairs", "scored"):
         assert set(cat.list_batches(t)) <= rec_b
+
+
+def test_compact_of_orphaned_batch_is_detected_on_replay(
+    spark, corpus_dfs, committed_full_run
+):
+    """CODE-REVIEW r5: compact() folding a crashed run's orphaned batch
+    bakes its rows into the base where drop_batch cannot retire them; the
+    replay must refuse loudly (RuntimeError) instead of double-counting."""
+    cat, old_docs, new_docs = committed_full_run
+    # crash after 3 publishes: keys+pairs+scored appended, records absent
+    crashing = _CrashingCatalog(cat.root, 3, backend=cat.backend)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        incremental_reconcile(crashing, spark, new_docs, max_block_size=500)
+    assert cat.list_batches("scored")  # the orphan is present
+    # an operator compacts 'scored' before the replay retires the orphan
+    cat.compact(spark, "scored", 2)
+    assert cat.list_batches("scored") == []
+    with pytest.raises(RuntimeError, match="compacted into the base"):
+        incremental_reconcile(cat, spark, new_docs, max_block_size=500)
+
+
+def test_compact_of_records_does_not_orphan_committed_batches(
+    spark, corpus_dfs, committed_full_run
+):
+    """Compacting 'records' folds its batch ids into compacted_batches; the
+    replay's orphan sweep must still treat those ids as committed (retiring
+    the downstream batches would silently drop their rows)."""
+    cat, old_docs, new_docs = committed_full_run
+    incremental_reconcile(cat, spark, new_docs, max_block_size=500)
+    n_before = cat.read_committed(spark, "scored").count()
+    assert cat.list_batches("scored")  # batch committed everywhere
+    cat.compact(spark, "records", 2)
+    assert cat.list_batches("records") == []  # folded, not orphaned
+    # rerun: no-op (all docs known), scored batches NOT retired
+    res = incremental_reconcile(cat, spark, new_docs, max_block_size=500)
+    assert res.n_new_records == 0
+    assert cat.read_committed(spark, "scored").count() == n_before
