@@ -232,17 +232,27 @@ def j2(spark, sf):
          FROM lineitem) WHERE rn = 1 ORDER BY l_orderkey""",
 )
 def j3(spark, sf):
-    # argmax-in-block with first-max tie-break (check:163-169 / W1)
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("l_orderkey").orderBy(
-        F.col("l_extendedprice").desc(), F.col("l_linenumber").asc()
+    # argmax-in-block with first-max tie-break (check:163-169 / W1).
+    # r6: expressed as max_by over a lexicographic ordering struct instead of
+    # a row_number window — identical rows (l_linenumber is unique within an
+    # order, so (price, -linenumber) is a total order and max_by is
+    # deterministic), but the aggregate gets partial map-side reduction: the
+    # shuffle carries one pre-reduced row per (mapper, order) instead of
+    # every lineitem row through a full sort (guide §2.3 "aggregate before
+    # you shuffle").
+    best = F.max_by(
+        F.struct("l_linenumber", "l_extendedprice"),
+        F.struct(F.col("l_extendedprice"), (-F.col("l_linenumber")).alias("nl")),
     )
     return (
         _t(spark, sf, "lineitem")
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .groupBy("l_orderkey")
+        .agg(best.alias("b"))
+        .select(
+            "l_orderkey",
+            F.col("b.l_linenumber").alias("l_linenumber"),
+            F.col("b.l_extendedprice").alias("l_extendedprice"),
+        )
         .orderBy("l_orderkey")
     )
 
@@ -1656,41 +1666,49 @@ SELECT left_id, right_id, cos_sim FROM (
 @_q("x4_ann_lsh_topk", _x4_oracle())
 def x4(spark, sf):
     # LSH-bucketed ANN: random-hyperplane signs -> bucket join -> exact cosine
-    # within bucket (the scale path; t6 is the brute-force baseline)
-    emb = _t(spark, sf, "embeddings")
+    # within bucket (the scale path; t6 is the brute-force baseline).
+    # r6 shape: ONE persisted Arrow pass computes bucket + norm (the HOF
+    # formulation re-ran 8x64 interpreted lambda ops per row on BOTH sides
+    # of the self-join), and the per-pair cosine pays one vectorized dot
+    # instead of a dot plus two norms — bit-exact fold order throughout.
     import numpy as np
 
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.functions.udfs import (
+        make_hyperplane_bucket_norm_udf,
+        seq_dot_udf,
+    )
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.partitioning import (
+        spread,
+    )
+
+    emb = spread(_t(spark, sf, "embeddings"))
     rng = np.random.RandomState(7)
     planes = rng.randn(8, 64).tolist()  # 8 hyperplanes -> 256 buckets
-    sign_bits = [
-        (F.aggregate(
-            F.zip_with(F.col("embedding"), F.array(*[F.lit(float(v)) for v in p]),
-                       lambda x, y: x.cast("double") * y),
-            F.lit(0.0), lambda a, x: a + x,
-        ) > 0).cast("int").alias(f"b{i}")
-        for i, p in enumerate(planes)
-    ]
-    withb = emb.select("vec_id", "embedding", *sign_bits)
-    bucket = F.concat_ws("", *[F.col(f"b{i}").cast("string") for i in range(8)])
-    withb = withb.select("vec_id", "embedding", bucket.alias("bucket"))
+    bn = make_hyperplane_bucket_norm_udf(planes)
+    withb = (
+        emb.select("vec_id", "embedding", bn(F.col("embedding")).alias("_bn"))
+        .select(
+            "vec_id", "embedding",
+            F.col("_bn.bucket").alias("bucket"), F.col("_bn.nrm").alias("nrm"),
+        )
+        .persist()  # two consumers: both sides of the bucket self-join
+    )
     a = withb.alias("a")
     b = withb.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.embedding"), F.col("b.embedding"),
-                   lambda x, y: x.cast("double") * y),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
-    nrm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
-    )
     pairs = (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(
             F.col("a.vec_id").alias("left_id"),
             F.col("b.vec_id").alias("right_id"),
+            seq_dot_udf(F.col("a.embedding"), F.col("b.embedding")).alias("dot"),
+            F.col("a.nrm").alias("lnrm"),
+            F.col("b.nrm").alias("rnrm"),
+        )
+        .select(
+            "left_id", "right_id",
             # + 0.0 folds -0.0 (bit-sensitive driver hash; see oracle)
-            (F.round(dot / (nrm(F.col("a.embedding")) * nrm(F.col("b.embedding"))), 3)
+            (F.round(F.col("dot") / (F.col("lnrm") * F.col("rnrm")), 3)
              + F.lit(0.0)).alias("cos_sim"),
         )
     )

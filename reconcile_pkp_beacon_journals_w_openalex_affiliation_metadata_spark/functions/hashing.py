@@ -131,6 +131,74 @@ def minhash_bands(
     return out
 
 
+def minhash_signatures_batch(
+    token_lists: list[list[str]], num_perm: int = 64, seed: int = 42,
+    chunk_tokens: int = 200_000,
+) -> np.ndarray:
+    """(n_docs, num_perm) uint64 minhash matrix for a whole batch of
+    tokenized docs in a few large numpy ops — bit-identical to calling
+    :func:`minhash_signature` per doc (same perms, same universal hash,
+    segmented min instead of a per-doc ``.min``), but without the per-doc
+    numpy dispatch overhead that dominated the banding UDF (measured ~10x
+    on Arrow-sized batches). Empty docs get the all-``_MAXH`` sentinel row.
+
+    ``chunk_tokens`` bounds the (num_perm, total_tokens) intermediate to
+    ~num_perm * chunk * 8 bytes (100 MB at the defaults) regardless of
+    batch size; chunks split on doc boundaries so segments never straddle.
+    """
+    n = len(token_lists)
+    out = np.full((n, num_perm), _MAXH, dtype=np.uint64)
+    a, b = _perms(num_perm, seed)
+    i = 0
+    while i < n:
+        j = i
+        total = 0
+        idx: list[int] = []
+        while j < n and (total == 0 or total + len(token_lists[j]) <= chunk_tokens):
+            if token_lists[j]:
+                idx.append(j)
+                total += len(token_lists[j])
+            j += 1
+        if idx:
+            flat: list[str] = []
+            starts = np.empty(len(idx), dtype=np.intp)
+            for k, d in enumerate(idx):
+                starts[k] = len(flat)
+                flat.extend(token_lists[d])
+            h = token_hashes(flat)  # (total,)
+            vals = (a[:, None] * h[None, :] + b[:, None]) % _MERSENNE
+            vals &= _MAXH
+            mins = np.minimum.reduceat(vals, starts, axis=1)  # (p, len(idx))
+            out[idx, :] = mins.T
+        i = j
+    return out
+
+
+def minhash_bands_batch(
+    token_lists: list[list[str]], num_perm: int = 64, bands: int = 16,
+    seed: int = 42,
+) -> list[list[str]]:
+    """Batch twin of :func:`minhash_bands`: same band-key strings, one
+    vectorized signature pass for the whole batch. Token-less docs get
+    ``[]`` (no bands), matching the scalar function."""
+    sigs = minhash_signatures_batch(token_lists, num_perm=num_perm, seed=seed)
+    r = num_perm // bands
+    rows = sigs.tolist()  # C-level uint64 -> Python int conversion
+    out: list[list[str]] = []
+    for d, toks in enumerate(token_lists):
+        if not toks:
+            out.append([])
+            continue
+        row = rows[d]
+        out.append(
+            [
+                f"b{i}:" + "-".join(map(str, row[i * r : (i + 1) * r]))
+                for i in range(bands)
+            ]
+        )
+    return out
+
+
 def simhash64(tokens: list[str]) -> int:
     """64-bit SimHash over md5-lower-64 token hashes (signed int64 for Spark).
 

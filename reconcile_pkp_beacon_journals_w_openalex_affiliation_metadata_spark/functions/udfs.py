@@ -244,14 +244,15 @@ def make_minhash_bands_udf(
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def _udf(s: pd.Series) -> pd.Series:
-        def one(text):
-            if not text:
-                return []
-            return hashing.minhash_bands(
-                tok(text), num_perm=num_perm, bands=bands, seed=seed
-            )
-
-        return s.map(one)
+        # tokenized batch -> ONE vectorized signature pass (bit-identical to
+        # the per-doc minhash_bands; differential-tested)
+        token_lists = [tok(text) if text else [] for text in s]
+        return pd.Series(
+            hashing.minhash_bands_batch(
+                token_lists, num_perm=num_perm, bands=bands, seed=seed
+            ),
+            index=s.index,
+        )
 
     return _udf
 
@@ -267,17 +268,80 @@ def make_minhash_signature_udf(num_perm: int = 64, shingle_k: int = 3, seed: int
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _udf(s: pd.Series) -> pd.Series:
-        return s.map(
-            lambda t: [
-                int(v)
-                for v in hashing.minhash_signature(
-                    hashing.shingles(t or "", k=shingle_k),
-                    num_perm=num_perm, seed=seed,
-                )
-            ]
+        token_lists = [hashing.shingles(t or "", k=shingle_k) for t in s]
+        sigs = hashing.minhash_signatures_batch(
+            token_lists, num_perm=num_perm, seed=seed
+        )
+        return pd.Series(sigs.astype("int64").tolist(), index=s.index)
+
+    return _udf
+
+
+def make_hyperplane_bucket_norm_udf(planes):
+    """Arrow-batched (bucket, norm) pass for hyperplane LSH.
+
+    BIT-EXACT with the higher-order-function formulation it replaces
+    (``aggregate(zip_with(...))`` left fold from 0.0): each plane dot and
+    the squared norm accumulate with the SAME left-to-right IEEE double
+    additions — ``acc = acc + float64(v_j) * p_j`` one dimension at a time,
+    vectorized across the batch rows, never ``np.dot`` (whose pairwise
+    summation order could flip a value at a round() boundary; the driver
+    hash is bit-sensitive). Null embedding rows keep the old semantics:
+    bucket '' (concat_ws over all-null bits), norm NULL.
+    """
+    import numpy as np
+
+    P = np.asarray(planes, dtype=np.float64)  # (n_planes, dim)
+    out_t = T.StructType(
+        [T.StructField("bucket", T.StringType()), T.StructField("nrm", T.DoubleType())]
+    )
+
+    @F.pandas_udf(out_t)
+    def _udf(vs: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        mask = vs.notna().to_numpy()
+        n = len(vs)
+        buckets = np.full(n, "", dtype=object)
+        norms = np.full(n, np.nan)
+        if mask.any():
+            V = np.stack(vs[mask].to_numpy()).astype(np.float64)  # (m, dim)
+            m = V.shape[0]
+            bits = np.empty((P.shape[0], m), dtype=bool)
+            nacc = np.zeros(m)
+            for i in range(P.shape[0]):
+                acc = np.zeros(m)
+                for j in range(P.shape[1]):
+                    acc += V[:, j] * P[i, j]  # sequential fold, HOF order
+                bits[i] = acc > 0
+            for j in range(P.shape[1]):
+                nacc += V[:, j] * V[:, j]
+            chars = np.where(bits, "1", "0")
+            buckets[mask] = ["".join(row) for row in chars.T]
+            norms[mask] = np.sqrt(nacc)
+        return pd.DataFrame(
+            {"bucket": buckets, "nrm": pd.Series(norms).where(pd.Series(mask))}
         )
 
     return _udf
+
+
+@F.pandas_udf(T.DoubleType())
+def seq_dot_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Pairwise dot product with the HOF fold's exact addition order (see
+    ``make_hyperplane_bucket_norm_udf``); one Arrow crossing per batch."""
+    import numpy as np
+
+    mask = (a.notna() & b.notna()).to_numpy()
+    out = np.full(len(a), np.nan)
+    if mask.any():
+        A = np.stack(a[mask].to_numpy()).astype(np.float64)
+        B = np.stack(b[mask].to_numpy()).astype(np.float64)
+        acc = np.zeros(A.shape[0])
+        for j in range(A.shape[1]):
+            acc += A[:, j] * B[:, j]
+        out[mask] = acc
+    return pd.Series(out).where(pd.Series(mask))
 
 
 @F.pandas_udf(T.ArrayType(T.StringType()))

@@ -22,19 +22,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
-    """Connect every neighbor v > u to min(N(u) ∪ {u})."""
+def _large_star(edges: DataFrame, dedup: bool = True) -> DataFrame:
+    """Connect every neighbor v > u to min(N(u) ∪ {u}).
+
+    ``dedup=False`` skips the output ``distinct`` (one Exchange less per
+    round): the composed round ``_small_star(_large_star(e))`` is
+    duplicate-insensitive — small-star's groupBy-min ignores multiplicity
+    and its own final distinct collapses the round's output — and the
+    un-deduped intermediate is bounded by the input edge count, so the
+    round result is identical while shuffling one fewer pass.
+    """
     und = edges.select("u", "v").unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     mins = und.groupBy("u").agg(F.min("v").alias("mv"))
     mins = mins.withColumn("m", F.least(F.col("mv"), F.col("u"))).drop("mv")
-    return (
+    out = (
         und.join(mins, "u")
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .distinct()
     )
+    return out.distinct() if dedup else out
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
@@ -84,13 +92,18 @@ def connected_components(
     e = edges.select("u", "v").where(F.col("u") != F.col("v")).distinct()
     prev = None
     for i in range(max_iter):
-        e = _small_star(_large_star(e))
+        e = _small_star(_large_star(e, dedup=False))
         if checkpoint_each_round:
             # lazy: the next action materializes the checkpoint, so a round
             # costs ONE job; convergence is only tested every
             # ``rounds_per_check`` rounds (at most that many extra rounds,
             # but half the driver round-trips — fixed job latency dominates
-            # small rounds)
+            # small rounds). Checkpointing EVERY round is load-bearing, not
+            # just lineage hygiene: a round reads its input from several
+            # places (both union branches of ``und`` and the groupBy), so an
+            # un-truncated 2-round plan recomputes the previous round
+            # multiplicatively — measured 5x slower at sf1.0 when the
+            # checkpoint was moved to check boundaries only.
             e = e.localCheckpoint(eager=False)
         if (i + 1) % rounds_per_check == 0 or i == max_iter - 1:
             cur = _checksum(e)

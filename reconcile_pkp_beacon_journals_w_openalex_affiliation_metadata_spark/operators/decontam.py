@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..partitioning import spread
+
 
 def _shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     """(id, shingle) rows: every k-token window of the whitespace stream,
@@ -31,8 +33,11 @@ def _shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     codegen re-tokenize the whole document per window (O(n^2) per doc —
     measured 6x slower at sf0.1)."""
     toks = F.split(F.trim(F.col(text_col)), "[ \t\n\f\r]+")
+    # tokenize + per-window transform + explode is the expensive narrow
+    # chain; a one-row-group scan would run it single-task (partitioning
+    # repair, no-op on parallel scans)
     base = (
-        df.select(F.col(id_col), toks.alias("_toks"))
+        spread(df).select(F.col(id_col), toks.alias("_toks"))
         .where(F.size("_toks") >= k)
     )
     wins = F.transform(

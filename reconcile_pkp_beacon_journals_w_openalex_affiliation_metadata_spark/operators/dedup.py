@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.udfs import make_minhash_bands_udf, simhash_udf
+from ..partitioning import spread
 
 # RE2-exact ASCII whitespace run ('\s' under RE2 is exactly [\t\n\f\r ]).
 # Spelled out so Spark's Java regex engine matches the DuckDB oracles
@@ -60,6 +61,10 @@ def minhash_band_keys(
     the incremental path (``delta_minhash_pairs``) never re-bands old docs."""
     bands_udf = make_minhash_bands_udf(num_perm=num_perm, bands=bands, shingle_k=shingle_k)
     norm = _norm_ws_expr(text_col)
+    # the banding UDF is the expensive pass; a single-row-group fixture scan
+    # would otherwise run it on one core (partitioning.spread is a no-op on
+    # already-parallel scans)
+    df = spread(df)
     return df.select(
         F.col(id_col).alias("id"), F.explode(bands_udf(norm)).alias("band")
     )
@@ -159,6 +164,7 @@ def delta_minhash_pairs(
 
 
 def simhash_codes(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    df = spread(df)  # simhash UDF pass: same single-task-scan repair as banding
     return df.select(
         F.col(id_col).alias("id"),
         simhash_udf(F.lower(F.col(text_col))).alias("simhash"),
@@ -335,7 +341,7 @@ def minhash_jaccard_estimates(
     # persist: the signature UDF feeds BOTH sides of the candidate join —
     # without a materialization each side re-runs it over the full corpus
     # (the same multi-consumer 2x-wall lesson as minhash_lsh_pairs)
-    sigs = df.select(
+    sigs = spread(df).select(
         F.col(id_col).alias("id"), sig_udf(_norm_ws_expr(text_col)).alias("sig")
     ).persist()
     j = (
@@ -546,7 +552,8 @@ def embedding_bucket_keys(
                      F.size(F.col(vec_col)).cast("string"))
         )
     )
-    return df.select(
+    # 8 x dim higher-order ops per row: spread the scan before paying them
+    return spread(df).select(
         F.col(id_col).alias("id"), checked_vec.alias("v"),
         F.concat_ws("", *bits).alias("bucket"),
     )

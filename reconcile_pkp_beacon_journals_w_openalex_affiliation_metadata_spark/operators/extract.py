@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..functions import native
 from ..functions.udfs import ascii_fold_udf
+from ..partitioning import spread
 
 _FIELDS = ["TITLE", "ISSN", "PUBLISHER", "COUNTRY", "URL"]
 
@@ -55,7 +56,11 @@ def extract_records(documents: DataFrame) -> DataFrame:
     Normalization = ascii-fold (pandas UDF, the only Python crossing) composed
     with native lower/regex steps — F1 parity with check_landing_page...py:16-27.
     """
-    df = documents.select(
+    # span filtering/sorting + the fold UDF are per-row expensive, and the
+    # records output feeds the (heavier) blocking band UDFs — repair a
+    # single-row-group scan's one-task parallelism up front (no-op when the
+    # input is already parallel)
+    df = spread(documents).select(
         "doc_id",
         F.when(F.col("doc_id").startswith("pkp:"), F.lit("pkp"))
         .otherwise(F.lit("oa"))

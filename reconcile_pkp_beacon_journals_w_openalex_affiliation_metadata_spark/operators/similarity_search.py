@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..partitioning import spread
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -43,7 +45,9 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k per query: broadcast the (small) query side, score all
     vectors, window top-k. Cost O(|vectors| * |queries|) — the baseline."""
-    joined = vectors.crossJoin(F.broadcast(queries))
+    # O(dim) higher-order math per (vector, query) pair: repair one-task
+    # scan parallelism before paying it (no-op on parallel scans)
+    joined = spread(vectors).crossJoin(F.broadcast(queries))
     scored = joined.select(
         F.col(q_id_col), F.col(id_col),
         F.round(cosine(F.col(vec_col), F.col(q_vec_col)), 6).alias("cos_sim"),
@@ -172,7 +176,10 @@ def build_ivf_index(
             vec_col=vec_col, assign_decimals=assign_decimals,
         )
     pick1 = _nearest_cells_udf(centroids, 1, decimals=assign_decimals)
-    assigned = vectors.withColumn("cell", pick1(F.col(vec_col))[0])
+    # assignment is the full-corpus Arrow pass (and downstream ivf_topk
+    # scores on this partitioning via a broadcast probe join): spread a
+    # one-task fixture scan across the cores first
+    assigned = spread(vectors).withColumn("cell", pick1(F.col(vec_col))[0])
     return assigned, centroids
 
 
