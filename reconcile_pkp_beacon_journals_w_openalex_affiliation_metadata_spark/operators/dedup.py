@@ -559,17 +559,26 @@ def embedding_bucket_keys(
     )
 
 
-def _exact_cosine(left_v, right_v):
-    dot = F.aggregate(
-        F.zip_with(left_v, right_v, lambda x, y: x.cast("double") * y),
-        F.lit(0.0), lambda acc, x: acc + x,
+def _vec_norm(c):
+    """sqrt of the left-to-right squared-sum fold — the norm half of the
+    old ``_exact_cosine`` HOF, now evaluated ONCE per row instead of once
+    per pair (identical doubles: same expression, same fold order)."""
+    return F.sqrt(
+        F.aggregate(
+            c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
     )
-    nrm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
-    )
-    # + 0.0 folds IEEE -0.0 from round() of a tiny negative cosine to
-    # +0.0 (the driver's value hash is bit-sensitive)
-    return F.round(dot / (nrm(left_v) * nrm(right_v)), 6) + F.lit(0.0)
+
+
+def _pair_cosine(left_v, right_v, left_n, right_n):
+    """round(dot/(|a||b|), 6) + 0.0 with the dot through the Arrow-batched
+    sequential fold (``seq_dot_udf`` — bit-exact with the interpreted
+    ``aggregate(zip_with(...))`` it replaces) and the norms precomputed per
+    row. + 0.0 folds IEEE -0.0 from round() of a tiny negative cosine
+    (the driver's value hash is bit-sensitive)."""
+    from ..functions.udfs import seq_dot_udf
+
+    return F.round(seq_dot_udf(left_v, right_v) / (left_n * right_n), 6) + F.lit(0.0)
 
 
 def embedding_near_dup_pairs(
@@ -584,13 +593,19 @@ def embedding_near_dup_pairs(
     """Cosine near-dups via random-hyperplane LSH buckets + exact verify.
     Brute force is O(n^2); the bucket join keeps it near-linear for tight
     thresholds (near-dup vectors almost always share all sign bits)."""
+    # persist: the bucket-bit pass (8 x dim HOF ops/row) feeds BOTH sides of
+    # the self-join; the per-row norm rides along so the per-pair work is
+    # one vectorized dot (r6 — the x4 lesson applied to the operator)
     keyed = embedding_bucket_keys(
         df, dim, id_col=id_col, vec_col=vec_col, n_planes=n_planes, seed=seed
-    )
+    ).withColumn("_n", _vec_norm(F.col("v"))).persist()
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
-        .withColumn("cos_sim", _exact_cosine(F.col("a.v"), F.col("b.v")))
+        .withColumn(
+            "cos_sim",
+            _pair_cosine(F.col("a.v"), F.col("b.v"), F.col("a._n"), F.col("b._n")),
+        )
         .where(F.col("cos_sim") >= threshold)
         .select(F.col("a.id").alias("left_id"), F.col("b.id").alias("right_id"), "cos_sim")
     )
@@ -616,12 +631,19 @@ def delta_embedding_near_dup(
     new_keys = embedding_bucket_keys(
         new_vectors, dim, id_col=id_col, vec_col=vec_col,
         n_planes=n_planes, seed=seed,
-    ).persist()  # two consumers: the union and the 'n' join side
-    all_keys = old_keys.unionByName(new_keys)
+    ).withColumn("_n", _vec_norm(F.col("v"))).persist()
+    # two consumers: the union and the 'n' join side. The committed old
+    # keys carry no norm column (their contract is (id, v, bucket)), so the
+    # norm is recomputed in one map pass — O(corpus) per batch but a single
+    # cheap column op, vs the per-PAIR norms the old cosine paid.
+    all_keys = old_keys.withColumn("_n", _vec_norm(F.col("v"))).unionByName(new_keys)
     n, t = new_keys.alias("n"), all_keys.alias("t")
     return (
         n.join(t, (F.col("n.bucket") == F.col("t.bucket")) & (F.col("n.id") != F.col("t.id")))
-        .withColumn("cos_sim", _exact_cosine(F.col("n.v"), F.col("t.v")))
+        .withColumn(
+            "cos_sim",
+            _pair_cosine(F.col("n.v"), F.col("t.v"), F.col("n._n"), F.col("t._n")),
+        )
         .where(F.col("cos_sim") >= threshold)
         .select(
             F.least(F.col("n.id"), F.col("t.id")).alias("left_id"),

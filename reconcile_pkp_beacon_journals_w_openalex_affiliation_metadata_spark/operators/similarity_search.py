@@ -44,13 +44,32 @@ def brute_force_topk(
     q_id_col: str = "q_id", q_vec_col: str = "q_vec",
 ) -> DataFrame:
     """Exact top-k per query: broadcast the (small) query side, score all
-    vectors, window top-k. Cost O(|vectors| * |queries|) — the baseline."""
-    # O(dim) higher-order math per (vector, query) pair: repair one-task
-    # scan parallelism before paying it (no-op on parallel scans)
-    joined = spread(vectors).crossJoin(F.broadcast(queries))
+    vectors, window top-k. Cost O(|vectors| * |queries|) — the baseline.
+
+    r6 plan shape: norms are computed ONCE per row/query (the factored
+    ``_norm`` expression yields the identical double), and the per-pair dot
+    runs through the Arrow-batched ``seq_dot_udf`` (same left-to-right fold
+    order as the ``aggregate`` HOF it replaces — bit-exact) instead of
+    interpreted per-element lambdas.
+    """
+    from ..functions.udfs import seq_dot_udf
+
+    # O(dim) math per (vector, query) pair: repair one-task scan
+    # parallelism before paying it (no-op on parallel scans)
+    v = spread(vectors).select(
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("_vn")
+    )
+    q = queries.select(
+        F.col(q_id_col), F.col(q_vec_col), _norm(F.col(q_vec_col)).alias("_qn")
+    )
+    joined = v.crossJoin(F.broadcast(q))
     scored = joined.select(
         F.col(q_id_col), F.col(id_col),
-        F.round(cosine(F.col(vec_col), F.col(q_vec_col)), 6).alias("cos_sim"),
+        F.round(
+            seq_dot_udf(F.col(vec_col), F.col(q_vec_col))
+            / (F.col("_vn") * F.col("_qn")),
+            6,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy(q_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
     return (
@@ -222,15 +241,26 @@ def ivf_topk(
     q_id_col: str = "q_id", q_vec_col: str = "q_vec",
     assign_decimals: int = 9, score_decimals: int = 6,
 ) -> DataFrame:
-    """Approximate top-k: each query probes its n_probe nearest cells only."""
+    """Approximate top-k: each query probes its n_probe nearest cells only.
+
+    Same r6 scoring shape as ``brute_force_topk``: per-row norms factored
+    out of the pair loop, Arrow-batched sequential-fold dot per probed pair
+    (bit-exact with the interpreted HOF cosine it replaces)."""
+    from ..functions.udfs import seq_dot_udf
+
     pick = _nearest_cells_udf(centroids, n_probe, decimals=assign_decimals)
-    q = queries.withColumn("cell", F.explode(pick(F.col(q_vec_col))))
-    joined = assigned.join(q, "cell", "inner")
+    q = queries.withColumn("cell", F.explode(pick(F.col(q_vec_col)))).withColumn(
+        "_qn", _norm(F.col(q_vec_col))
+    )
+    av = assigned.withColumn("_vn", _norm(F.col(vec_col)))
+    joined = av.join(q, "cell", "inner")
     scored = joined.select(
         F.col(q_id_col), F.col(id_col),
-        F.round(cosine(F.col(vec_col), F.col(q_vec_col)), score_decimals).alias(
-            "cos_sim"
-        ),
+        F.round(
+            seq_dot_udf(F.col(vec_col), F.col(q_vec_col))
+            / (F.col("_vn") * F.col("_qn")),
+            score_decimals,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy(q_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
     return (

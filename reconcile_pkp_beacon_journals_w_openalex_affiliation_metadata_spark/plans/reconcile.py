@@ -31,6 +31,17 @@ class ReconcileResult:
     scored: DataFrame
     clusters: DataFrame
 
+    def unpersist(self) -> None:
+        """Release every cache the plan took (records/keys/candidates, and
+        scored when clustering persisted it). Call after the consumer has
+        materialized or committed what it needs — cached plans otherwise
+        pin executor storage for the session lifetime (guide §5:
+        "unpersist when done"). Blocking=False: eager eviction is not worth
+        stalling the driver."""
+        for df in (self.records, self.keys, self.candidate_pairs, self.scored):
+            if df is not None:
+                df.unpersist()
+
 
 def reconcile(
     documents: DataFrame,

@@ -80,3 +80,19 @@ def test_clusters_contain_matches(corpus_dfs):
     # every true pair that was predicted matched must share a cluster;
     # allow the same small miss budget as the F1 gate
     assert same / len(truth) >= 0.98
+
+
+def test_reconcile_unpersist_drains_caches(spark, corpus_dfs):
+    """r6: ReconcileResult.unpersist() releases every cache the plan took —
+    cached stage plans must not outlive the consumer (optimization-guide §5).
+    Asserted on the stage DataFrames' own storage levels (the CC rounds'
+    localCheckpoint RDDs are cleaned asynchronously by the ContextCleaner,
+    so a global getPersistentRDDs count would be racy)."""
+    res = reconcile(corpus_dfs["documents"], with_clusters=True)
+    res.clusters.count()  # materializes all stage caches
+    cached = [res.records, res.keys, res.candidate_pairs, res.scored]
+    assert all(df.storageLevel.useMemory or df.storageLevel.useDisk for df in cached)
+    res.unpersist()
+    assert not any(
+        df.storageLevel.useMemory or df.storageLevel.useDisk for df in cached
+    )
