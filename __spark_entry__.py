@@ -1665,17 +1665,22 @@ SELECT left_id, right_id, cos_sim FROM (
 
 @_q("x4_ann_lsh_topk", _x4_oracle())
 def x4(spark, sf):
-    # LSH-bucketed ANN: random-hyperplane signs -> bucket join -> exact cosine
-    # within bucket (the scale path; t6 is the brute-force baseline).
-    # r6 shape: ONE persisted Arrow pass computes bucket + norm (the HOF
-    # formulation re-ran 8x64 interpreted lambda ops per row on BOTH sides
-    # of the self-join), and the per-pair cosine pays one vectorized dot
-    # instead of a dot plus two norms — bit-exact fold order throughout.
+    # LSH-bucketed ANN: random-hyperplane signs -> per-bucket exact cosine
+    # -> top-3 (the scale path; t6 is the brute-force baseline).
+    # r6 shape: the bucket SELF-JOIN + per-pair Arrow dot (which serialized
+    # both embeddings across the Python boundary once per PAIR — O(pairs x
+    # dim) bytes) is replaced by ONE groupBy(bucket).applyInPandas kernel
+    # that sees each bucket's vectors once (O(n x dim) bytes, one shuffle)
+    # and emits only the pairs that can still reach the rounded top-3 (a
+    # provable superset — see make_bucket_topk_pairs_kernel); the unrounded
+    # cosine it emits is bit-exact with the join formulation (same
+    # sequential dot fold, same per-row norms, same division), and the
+    # round + window + final sort below are unchanged.
     import numpy as np
 
     from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.functions.udfs import (
+        make_bucket_topk_pairs_kernel,
         make_hyperplane_bucket_norm_udf,
-        seq_dot_udf,
     )
     from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.partitioning import (
         spread,
@@ -1685,32 +1690,19 @@ def x4(spark, sf):
     rng = np.random.RandomState(7)
     planes = rng.randn(8, 64).tolist()  # 8 hyperplanes -> 256 buckets
     bn = make_hyperplane_bucket_norm_udf(planes)
-    withb = (
-        emb.select("vec_id", "embedding", bn(F.col("embedding")).alias("_bn"))
-        .select(
-            "vec_id", "embedding",
-            F.col("_bn.bucket").alias("bucket"), F.col("_bn.nrm").alias("nrm"),
-        )
-        .persist()  # two consumers: both sides of the bucket self-join
+    withb = emb.select("vec_id", "embedding", bn(F.col("embedding")).alias("_bn")).select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        F.col("_bn.bucket").alias("bucket"),
+        F.col("_bn.nrm").alias("nrm"),
     )
-    a = withb.alias("a")
-    b = withb.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(
-            F.col("a.vec_id").alias("left_id"),
-            F.col("b.vec_id").alias("right_id"),
-            seq_dot_udf(F.col("a.embedding"), F.col("b.embedding")).alias("dot"),
-            F.col("a.nrm").alias("lnrm"),
-            F.col("b.nrm").alias("rnrm"),
-        )
-        .select(
-            "left_id", "right_id",
-            # + 0.0 folds -0.0 (bit-sensitive driver hash; see oracle)
-            (F.round(F.col("dot") / (F.col("lnrm") * F.col("rnrm")), 3)
-             + F.lit(0.0)).alias("cos_sim"),
-        )
+    pairs = withb.groupBy("bucket").applyInPandas(
+        make_bucket_topk_pairs_kernel(k=3, round_decimals=3),
+        schema="left_id long, right_id long, cos_raw double",
+    ).select(
+        "left_id", "right_id",
+        # + 0.0 folds -0.0 (bit-sensitive driver hash; see oracle)
+        (F.round(F.col("cos_raw"), 3) + F.lit(0.0)).alias("cos_sim"),
     )
     from pyspark.sql import Window
 

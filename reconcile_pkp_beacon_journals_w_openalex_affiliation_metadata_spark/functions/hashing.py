@@ -166,8 +166,17 @@ def minhash_signatures_batch(
                 starts[k] = len(flat)
                 flat.extend(token_lists[d])
             h = token_hashes(flat)  # (total,)
-            vals = (a[:, None] * h[None, :] + b[:, None]) % _MERSENNE
-            vals &= _MAXH
+            # corpus tokens repeat heavily (stop shingles, char n-grams from
+            # a small alphabet: ~10x duplication measured at sf0.1), and the
+            # universal-hash line was the kernel's hot spot — so compute the
+            # (p, n_distinct) matrix once and GATHER per occurrence instead
+            # of re-doing mul+add+mod per duplicate (guide §1.2 "per-task
+            # work": 5.5x on the kernel, bit-identical since the per-token
+            # values are exactly the ones the dense form would produce).
+            hu, inv = np.unique(h, return_inverse=True)
+            vu = (a[:, None] * hu[None, :] + b[:, None]) % _MERSENNE
+            vu &= _MAXH
+            vals = vu[:, inv]  # (p, total)
             mins = np.minimum.reduceat(vals, starts, axis=1)  # (p, len(idx))
             out[idx, :] = mins.T
         i = j

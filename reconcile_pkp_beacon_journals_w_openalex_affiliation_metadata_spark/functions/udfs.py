@@ -326,6 +326,111 @@ def make_hyperplane_bucket_norm_udf(planes):
     return _udf
 
 
+def make_bucket_topk_pairs_kernel(k: int, round_decimals: int):
+    """Per-bucket candidate generator for hyperplane-LSH top-k (x4 family).
+
+    Replaces the bucket SELF-JOIN + per-pair Arrow dot: the join shipped
+    BOTH 64-float embeddings across the Python boundary once per PAIR
+    (O(pairs x dim) serialization — the x4 wall at scale), where this
+    ``applyInPandas`` kernel receives each bucket's rows ONCE (O(n x dim))
+    and emits only the pairs that can still reach the top-k after rounding.
+
+    Exactness: the unrounded cosine is computed with the identical IEEE
+    operations as the join formulation — the same left-to-right sequential
+    dot fold (vectorized across pairs, one dimension at a time), then
+    ``dot / (lnrm * rnrm)`` with the SAME per-row norms — so every emitted
+    ``cos_raw`` is bit-equal to what the join would have produced, and the
+    downstream round+window sees identical doubles. Pruning is a superset
+    filter: per left id, every pair whose unrounded cosine is within
+    ``2 * 10^-round_decimals`` of the k-th best is kept (rounding moves a
+    value by at most half an ulp of the decimal grid, so anything below
+    that margin can neither tie nor beat the kept k after rounding; ties
+    ON the rounded grid are all retained for the window's right_id
+    tie-break). NaN cosines rank above everything (Spark sort order);
+    null-embedding rows (their bucket is '') emit null cosines, which the
+    window orders last — k smallest right ids per left are kept for them.
+
+    One bucket is one pandas group: bucket population is corpus/2^n_planes
+    on average, so n_planes must scale with the corpus (it must anyway —
+    pair volume is quadratic per bucket; that is inherent to bucketed ANN,
+    not to this kernel).
+    """
+    import numpy as np
+
+    margin = 2.0 * (10.0 ** -round_decimals)
+    empty = pd.DataFrame(
+        {"left_id": pd.Series([], dtype="int64"),
+         "right_id": pd.Series([], dtype="int64"),
+         "cos_raw": pd.Series([], dtype="float64")}
+    )
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return empty
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order]
+        vecs = pdf["v"].to_numpy()[order]
+        if vecs[0] is None:
+            # the all-null bucket: cosines are null, the window orders them
+            # last and ties break by right_id asc — keep k smallest per left
+            lefts: list = []
+            rights: list = []
+            for i in range(m - 1):
+                for j in range(i + 1, min(i + 1 + k, m)):
+                    lefts.append(ids[i])
+                    rights.append(ids[j])
+            return pd.DataFrame(
+                {"left_id": np.asarray(lefts, dtype=np.int64),
+                 "right_id": np.asarray(rights, dtype=np.int64),
+                 "cos_raw": np.full(len(lefts), np.nan)}
+            )
+        X = np.stack(vecs).astype(np.float64)
+        nrm = pdf["nrm"].to_numpy(dtype=np.float64)[order]
+        dim = X.shape[1]
+        out_l: list = []
+        out_r: list = []
+        out_c: list = []
+        # chunk the left range so the pair workspace stays bounded
+        max_pairs = 4_000_000
+        i0 = 0
+        while i0 < m - 1:
+            i1 = i0
+            total = 0
+            while i1 < m - 1 and (total == 0 or total + (m - 1 - i1) <= max_pairs):
+                total += m - 1 - i1
+                i1 += 1
+            counts = np.arange(m - 1 - i0, m - 1 - i1, -1)
+            ii = np.repeat(np.arange(i0, i1), counts)
+            jj = np.concatenate([np.arange(i + 1, m) for i in range(i0, i1)])
+            acc = np.zeros(total)
+            for d in range(dim):
+                acc += X[ii, d] * X[jj, d]  # sequential fold, join-order
+            cos = acc / (nrm[ii] * nrm[jj])
+            rankv = np.where(np.isnan(cos), np.inf, cos)  # NaN sorts first
+            starts = np.zeros(i1 - i0, dtype=np.intp)
+            np.cumsum(counts[:-1], out=starts[1:])
+            for b, i in enumerate(range(i0, i1)):
+                s, e = starts[b], starts[b] + counts[b]
+                blk = rankv[s:e]
+                if counts[b] <= k:
+                    keep = np.arange(s, e)
+                else:
+                    kth = np.partition(blk, len(blk) - k)[len(blk) - k]
+                    keep = s + np.nonzero(blk >= kth - margin)[0]
+                out_l.append(ids[ii[keep]])
+                out_r.append(ids[jj[keep]])
+                out_c.append(cos[keep])
+            i0 = i1
+        return pd.DataFrame(
+            {"left_id": np.concatenate(out_l),
+             "right_id": np.concatenate(out_r),
+             "cos_raw": np.concatenate(out_c)}
+        )
+
+    return kern
+
+
 @F.pandas_udf(T.DoubleType())
 def seq_dot_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     """Pairwise dot product with the HOF fold's exact addition order (see

@@ -83,28 +83,39 @@ def minhash_lsh_pairs(
 
     Oversized band buckets (stop-phrase shingles) are dropped with the same
     cap discipline as blocking.pairs — a degenerate bucket adds quadratic
-    pairs and no signal."""
-    # persist the exploded keys: three consumers read them (the band-size
-    # agg and BOTH sides of the self-join), and without a materialization
-    # each re-runs the banding UDF — the r2-measured 2x wall regression.
-    # MEMORY_AND_DISK so a 100 TB corpus spills instead of OOMing; the cache
-    # entry is unpersisted by the ContextCleaner when the plan is GC'd.
+    pairs and no signal.
+
+    r6 plan shape (guide §2.4 "two operations keyed the same way can share
+    one exchange"): the band-size cap is a count() window over the SAME
+    band partitioning the self-join needs, so the whole operator costs ONE
+    shuffle of the key rows (plus the pair distinct) — the previous shape
+    paid a separate groupBy shuffle for the cap, a driver broadcast of the
+    oversized set, and a persist of the keys (the band exchange is
+    identical on both self-join sides, so AQE reuses it and the banding
+    UDF runs once without any cache). The join is hinted sort-merge: the
+    window's own sort already orders each partition by band, a broadcast
+    of a corpus-sized side would be wrong at scale (and measured slower
+    locally — the driver round-trip), and sort-merge spills gracefully
+    where a forced shuffled-hash build could OOM on a 100 TB key table.
+    A degenerate band's rows do shuffle once before the cap filter drops
+    them (the old anti-join dropped map-side); that is one spill-safe sort
+    of the capped band vs an extra full aggregation pass on every healthy
+    corpus — the right trade, and the quadratic pair work is what the cap
+    actually guards."""
     keys = minhash_band_keys(
         df, id_col, text_col, num_perm=num_perm, bands=bands, shingle_k=shingle_k
-    ).persist()
-    # cap via a partial-aggregated size count, broadcasting ONLY the
-    # oversized bands (a handful even at corpus scale) into an anti-join.
-    # Never windows/buffers the degenerate band's rows on one task, and the
-    # broadcast side is the exceptional set, not the full band list.
-    oversized = (
-        keys.groupBy("band").count()
-        .where(F.col("count") > max_band_size)
-        .select("band")
     )
-    kept = keys.join(F.broadcast(oversized), "band", "left_anti")
+    kept = (
+        keys.withColumn("_n", F.count("*").over(Window.partitionBy("band")))
+        .where(F.col("_n") <= max_band_size)
+        .drop("_n")
+    )
     a, b = kept.alias("a"), kept.alias("b")
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.id") < F.col("b.id")))
+        a.join(
+            b.hint("merge"),
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.id") < F.col("b.id")),
+        )
         .select(F.col("a.id").alias("left_id"), F.col("b.id").alias("right_id"))
         .distinct()
     )
@@ -134,27 +145,35 @@ def delta_minhash_pairs(
     Equivalence (tested): minhash_lsh_pairs(old + new) ==
     minhash_lsh_pairs(old) ∪ delta_minhash_pairs(old_keys, new), away from
     cap boundaries.
+
+    r6 plan shape (same rework as :func:`minhash_lsh_pairs`): the union is
+    tagged with an ``_new`` flag, the band cap is a count() window over the
+    union's single band shuffle, and the new side is a FILTER of that same
+    kept subtree — so both join inputs share one exchange (AQE reuses it;
+    the banding UDF over the new batch runs once, no persists), and the
+    cap is measured over the union exactly as before.
     """
     new_keys = minhash_band_keys(
         new_docs, id_col, text_col, num_perm=num_perm, bands=bands,
         shingle_k=shingle_k,
-    ).persist()
-    # persisted: two consumers (the oversized agg and kept_all) would each
-    # re-execute old_keys' lineage — which may be a live banding plan, not
-    # a committed table (the multi-consumer lesson from minhash_lsh_pairs)
-    all_keys = old_keys.unionByName(new_keys).persist()
-    oversized = (
-        all_keys.groupBy("band").count()
-        .where(F.col("count") > max_band_size)
-        .select("band")
     )
-    kept_new = new_keys.join(F.broadcast(oversized), "band", "left_anti")
-    kept_all = all_keys.join(F.broadcast(oversized), "band", "left_anti")
+    all_keys = old_keys.withColumn("_new", F.lit(False)).unionByName(
+        new_keys.withColumn("_new", F.lit(True))
+    )
+    kept_all = (
+        all_keys.withColumn("_n", F.count("*").over(Window.partitionBy("band")))
+        .where(F.col("_n") <= max_band_size)
+        .drop("_n")
+    )
+    kept_new = kept_all.where(F.col("_new"))
     n, t = kept_new.alias("n"), kept_all.alias("t")
     # new x all, both orientations, normalized to (min, max); new x new
     # appears from both sides and collapses in the distinct
     return (
-        n.join(t, (F.col("n.band") == F.col("t.band")) & (F.col("n.id") != F.col("t.id")))
+        n.join(
+            t.hint("merge"),
+            (F.col("n.band") == F.col("t.band")) & (F.col("n.id") != F.col("t.id")),
+        )
         .select(
             F.least(F.col("n.id"), F.col("t.id")).alias("left_id"),
             F.greatest(F.col("n.id"), F.col("t.id")).alias("right_id"),
@@ -284,12 +303,35 @@ def delta_simhash_pairs(
 
 @F.pandas_udf(T.DoubleType())
 def _ngram_jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    from ..functions.hashing import char_ngrams, jaccard
+    """Exact char-3-gram Jaccard per pair.
 
-    return pd.Series(
-        [jaccard(set(char_ngrams(x or "", 3)), set(char_ngrams(y or "", 3))) for x, y in zip(a, b)],
-        index=a.index, dtype="float64",
-    )
+    r6 batch shape (guide §1.2 per-task work): candidate batches repeat the
+    same document text across many pairs (every pair a doc participates in
+    re-ships its text), so the trigram SET is built once per distinct text
+    in the batch, and the per-pair cost is one set intersection —
+    |A∪B| = |A|+|B|-|A∩B| avoids materializing the union. Bit-identical to
+    jaccard(set(char_ngrams(x)), set(char_ngrams(y))): same integer counts,
+    same final int/int division."""
+    from ..functions.hashing import char_ngrams
+
+    sets: dict[str, frozenset] = {}
+
+    def grams(x: str | None) -> frozenset:
+        x = x or ""
+        s = sets.get(x)
+        if s is None:
+            s = sets[x] = frozenset(char_ngrams(x, 3))
+        return s
+
+    out = []
+    for x, y in zip(a, b):
+        ga, gb = grams(x), grams(y)
+        if not ga and not gb:
+            out.append(1.0)
+            continue
+        inter = len(ga & gb)
+        out.append(inter / (len(ga) + len(gb) - inter))
+    return pd.Series(out, index=a.index, dtype="float64")
 
 
 def ngram_jaccard_dedup(
