@@ -296,7 +296,13 @@ def j5(spark, sf):
         F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("u"),
         F.concat(F.lit("e"), F.col("event_type")).alias("v"),
     ).distinct()
-    return connected_components(edges).select("node", "cluster_id").orderBy("node")
+    # assume_dedup: the distinct above already dedups; skipping the
+    # operator's defensive re-distinct drops one shuffle (labels unchanged)
+    return (
+        connected_components(edges, assume_dedup=True)
+        .select("node", "cluster_id")
+        .orderBy("node")
+    )
 
 
 @_q(
@@ -331,7 +337,7 @@ def j6(spark, sf):
         F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("u"),
         F.concat(F.lit("e"), F.col("event_type")).alias("v"),
     ).distinct()
-    cc = connected_components(edges)
+    cc = connected_components(edges, assume_dedup=True)
     sizes = cc.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
     return (
         sizes.groupBy("cluster_size").agg(F.count("*").alias("n_clusters"))

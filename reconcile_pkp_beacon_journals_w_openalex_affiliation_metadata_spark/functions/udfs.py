@@ -432,6 +432,26 @@ def make_bucket_topk_pairs_kernel(k: int, round_decimals: int):
 
 
 @F.pandas_udf(T.DoubleType())
+def seq_norm_udf(a: pd.Series) -> pd.Series:
+    """sqrt of the left-to-right squared-sum fold — Arrow-batched twin of
+    the interpreted ``aggregate(zip_with(v, v))`` norm (same sequential
+    addition order, one dimension at a time across the batch, so the
+    doubles are bit-identical). Replaces the per-row interpreted HOF in
+    the ANN scoring paths (guide §4.2)."""
+    import numpy as np
+
+    mask = a.notna().to_numpy()
+    out = np.full(len(a), np.nan)
+    if mask.any():
+        A = np.stack(a[mask].to_numpy()).astype(np.float64)
+        acc = np.zeros(A.shape[0])
+        for j in range(A.shape[1]):
+            acc += A[:, j] * A[:, j]
+        out[mask] = np.sqrt(acc)
+    return pd.Series(out).where(pd.Series(mask))
+
+
+@F.pandas_udf(T.DoubleType())
 def seq_dot_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     """Pairwise dot product with the HOF fold's exact addition order (see
     ``make_hyperplane_bucket_norm_udf``); one Arrow crossing per batch."""

@@ -78,18 +78,30 @@ def connected_components(
     max_iter: int = 25,
     checkpoint_each_round: bool = True,
     rounds_per_check: int = 1,
+    assume_dedup: bool = False,
 ) -> DataFrame:
     """(node, cluster_id) for every node appearing in ``edges``(u, v).
 
     cluster_id = min node id of the component (deterministic, order-free —
     the CC invariants of SURVEY.md §5.5).
+
+    ``assume_dedup=True`` skips the defensive input ``distinct`` — pass it
+    when the caller already deduplicated (j5/j6 do); the star rounds are
+    multiplicity-insensitive, so this only drops a redundant shuffle, never
+    changes labels. The input plan is deliberately NOT persisted even
+    though two actions read it (round 0 and the singleton roll-up): an A/B
+    at the 10x proxy measured the cache materialization barrier costing
+    MORE (+1.5s) than the second evaluation of the upstream edge plan —
+    the fused scan→distinct→star pipeline beats a cache write + read.
     """
     all_nodes = (
         edges.select(F.col("u").alias("node"))
         .unionByName(edges.select(F.col("v").alias("node")))
         .distinct()
     )
-    e = edges.select("u", "v").where(F.col("u") != F.col("v")).distinct()
+    e = edges.select("u", "v").where(F.col("u") != F.col("v"))
+    if not assume_dedup:
+        e = e.distinct()
     prev = None
     for i in range(max_iter):
         e = _small_star(_large_star(e, dedup=False))

@@ -52,15 +52,17 @@ def brute_force_topk(
     order as the ``aggregate`` HOF it replaces — bit-exact) instead of
     interpreted per-element lambdas.
     """
-    from ..functions.udfs import seq_dot_udf
+    from ..functions.udfs import seq_dot_udf, seq_norm_udf
 
     # O(dim) math per (vector, query) pair: repair one-task scan
-    # parallelism before paying it (no-op on parallel scans)
+    # parallelism before paying it (no-op on parallel scans). The corpus
+    # norm runs through the Arrow-batched fold (bit-exact with the
+    # interpreted HOF — same addition order) instead of per-row lambdas.
     v = spread(vectors).select(
-        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("_vn")
+        F.col(id_col), F.col(vec_col), seq_norm_udf(F.col(vec_col)).alias("_vn")
     )
     q = queries.select(
-        F.col(q_id_col), F.col(q_vec_col), _norm(F.col(q_vec_col)).alias("_qn")
+        F.col(q_id_col), F.col(q_vec_col), seq_norm_udf(F.col(q_vec_col)).alias("_qn")
     )
     joined = v.crossJoin(F.broadcast(q))
     scored = joined.select(
@@ -246,13 +248,15 @@ def ivf_topk(
     Same r6 scoring shape as ``brute_force_topk``: per-row norms factored
     out of the pair loop, Arrow-batched sequential-fold dot per probed pair
     (bit-exact with the interpreted HOF cosine it replaces)."""
-    from ..functions.udfs import seq_dot_udf
+    from ..functions.udfs import seq_dot_udf, seq_norm_udf
 
     pick = _nearest_cells_udf(centroids, n_probe, decimals=assign_decimals)
     q = queries.withColumn("cell", F.explode(pick(F.col(q_vec_col)))).withColumn(
-        "_qn", _norm(F.col(q_vec_col))
+        "_qn", seq_norm_udf(F.col(q_vec_col))
     )
-    av = assigned.withColumn("_vn", _norm(F.col(vec_col)))
+    # corpus-side norm via the Arrow-batched fold (bit-exact, see
+    # brute_force_topk) — the interpreted HOF was O(dim) lambda steps/row
+    av = assigned.withColumn("_vn", seq_norm_udf(F.col(vec_col)))
     joined = av.join(q, "cell", "inner")
     scored = joined.select(
         F.col(q_id_col), F.col(id_col),
