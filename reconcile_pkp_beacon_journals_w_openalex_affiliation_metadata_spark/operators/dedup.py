@@ -566,50 +566,47 @@ def embedding_bucket_keys(
 
     ``dim`` is an explicit parameter: probing it with a driver-side
     ``first()`` action from inside an operator would trigger a hidden job
-    on every call (and the array element count is not in the schema)."""
+    on every call (and the array element count is not in the schema).
+
+    r6: the sign bits run through the Arrow-batched
+    ``make_hyperplane_bucket_norm_udf`` pass (one crossing per batch, the
+    same left-to-right fold order as the interpreted
+    ``aggregate(zip_with(...))`` HOF it replaces — bit-identical buckets,
+    the x4 lesson applied to the operator family; x7/x16 oracle parity
+    re-verified). The committed (id, v, bucket) contract is unchanged."""
     import numpy as np
+
+    from ..functions.udfs import make_hyperplane_bucket_norm_udf
 
     rng = np.random.RandomState(seed)
     planes = rng.randn(n_planes, dim).tolist()
-    bits = [
-        (
-            F.aggregate(
-                F.zip_with(
-                    F.col(vec_col),
-                    F.array(*[F.lit(float(v)) for v in p]),
-                    lambda x, y: x.cast("double") * y,
-                ),
-                F.lit(0.0), lambda a, x: a + x,
-            ) > 0
-        ).cast("int").cast("string")
-        for p in planes
-    ]
-    # fail fast on a dim/vector mismatch: zip_with against a wrong-length
-    # plane pads with NULLs, which would silently collapse buckets and turn
-    # the near-linear bucket join into an O(n^2) self-join. The check rides
-    # inside the value column so column pruning cannot drop it.
+    bn = make_hyperplane_bucket_norm_udf(planes)
+    # fail fast on a dim/vector mismatch: sign bits against a wrong-length
+    # vector would silently collapse buckets and turn the near-linear
+    # bucket join into an O(n^2) self-join. The check rides inside the
+    # value column so column pruning cannot drop it.
     checked_vec = F.when(F.size(F.col(vec_col)) == dim, F.col(vec_col)).otherwise(
         F.raise_error(
             F.concat(F.lit(f"embedding length != dim={dim}: "),
                      F.size(F.col(vec_col)).cast("string"))
         )
     )
-    # 8 x dim higher-order ops per row: spread the scan before paying them
+    # the batched pass still costs O(n_planes x dim) per row: spread the
+    # scan before paying it
     return spread(df).select(
         F.col(id_col).alias("id"), checked_vec.alias("v"),
-        F.concat_ws("", *bits).alias("bucket"),
+        bn(F.col(vec_col))["bucket"].alias("bucket"),
     )
 
 
 def _vec_norm(c):
-    """sqrt of the left-to-right squared-sum fold — the norm half of the
-    old ``_exact_cosine`` HOF, now evaluated ONCE per row instead of once
-    per pair (identical doubles: same expression, same fold order)."""
-    return F.sqrt(
-        F.aggregate(
-            c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
-        )
-    )
+    """Per-row vector norm — r6: the Arrow-batched sequential fold
+    (``seq_norm_udf``), bit-identical to the interpreted
+    ``sqrt(aggregate(...))`` HOF this wrapped before (same addition order;
+    unit-tested in test_r6_optimizations)."""
+    from ..functions.udfs import seq_norm_udf
+
+    return seq_norm_udf(c)
 
 
 def _pair_cosine(left_v, right_v, left_n, right_n):

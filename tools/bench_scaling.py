@@ -355,8 +355,8 @@ Same job at local[{LEG_N}] vs local[{LEG_4N}] (N vs 4N; sandbox stand-in for
 N vs 4N executors) on the same seeded input ({N_JOURNALS} journals,
 oa_copies=4 -> {b1n['pairs_scored']} candidate pairs). Legs interleaved x{ROUNDS},
 min wall per leg — the host carries bursty external tenant load (loadavg
-6-15 when idle), and a pure-CPU burn test caps 4->16-process wall speedup at
-3.42x (efficiency ceiling 0.86) from clock scaling alone.
+bursts >20 observed with nothing local running), which the min estimator
+absorbs but cannot fully remove; treat single-leg walls as upper bounds.
 
 ## Layer 1 — scoring job (candidate-pairs-scored/sec, the north metric)
 
@@ -393,9 +393,7 @@ small-star CC, end to end in one run.
 Layer 2 runs all stages in one shared local JVM where the shuffle-heavy
 blocking/join/CC phases are memory-bandwidth-bound and contend with host
 neighbors; on a real multi-executor cluster each executor has its own heap
-and bandwidth. Per-stage cgroup accounting shows the 4-core leg fully
-CPU-saturated (4.4 cores busy), i.e. the gap is hardware contention, not
-idle executors.
+and bandwidth.
 
 Reference throughput context: the reference scores author/affiliation pairs
 through a serial rate-limited API loop at <= ~6.7 DOIs/sec
