@@ -1704,11 +1704,14 @@ def x4(spark, sf):
     )
     pairs = withb.groupBy("bucket").applyInPandas(
         make_bucket_topk_pairs_kernel(k=3, round_decimals=3),
-        schema="left_id long, right_id long, cos_raw double",
+        schema="left_id long, right_id long, dot double, lnrm double, rnrm double",
     ).select(
         "left_id", "right_id",
-        # + 0.0 folds -0.0 (bit-sensitive driver hash; see oracle)
-        (F.round(F.col("cos_raw"), 3) + F.lit(0.0)).alias("cos_sim"),
+        # the division runs in the JVM — identical expression (and NaN/inf
+        # semantics) to the join formulation; + 0.0 folds -0.0
+        # (bit-sensitive driver hash; see oracle)
+        (F.round(F.col("dot") / (F.col("lnrm") * F.col("rnrm")), 3)
+         + F.lit(0.0)).alias("cos_sim"),
     )
     from pyspark.sql import Window
 

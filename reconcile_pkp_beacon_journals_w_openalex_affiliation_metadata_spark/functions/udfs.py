@@ -306,6 +306,13 @@ def make_hyperplane_bucket_norm_udf(planes):
         norms = np.full(n, np.nan)
         if mask.any():
             V = np.stack(vs[mask].to_numpy()).astype(np.float64)  # (m, dim)
+            if V.shape[1] != P.shape[1]:
+                # same fail-fast contract as the operators' column-level
+                # guard: a wrong-width vector must never silently collapse
+                # buckets (ragged batches already fail in np.stack above)
+                raise ValueError(
+                    f"embedding length != dim={P.shape[1]}: {V.shape[1]}"
+                )
             m = V.shape[0]
             bits = np.empty((P.shape[0], m), dtype=bool)
             nacc = np.zeros(m)
@@ -335,20 +342,28 @@ def make_bucket_topk_pairs_kernel(k: int, round_decimals: int):
     ``applyInPandas`` kernel receives each bucket's rows ONCE (O(n x dim))
     and emits only the pairs that can still reach the top-k after rounding.
 
-    Exactness: the unrounded cosine is computed with the identical IEEE
-    operations as the join formulation — the same left-to-right sequential
-    dot fold (vectorized across pairs, one dimension at a time), then
-    ``dot / (lnrm * rnrm)`` with the SAME per-row norms — so every emitted
-    ``cos_raw`` is bit-equal to what the join would have produced, and the
-    downstream round+window sees identical doubles. Pruning is a superset
-    filter: per left id, every pair whose unrounded cosine is within
+    Exactness: the kernel emits ``(dot, lnrm, rnrm)`` — NOT the cosine —
+    and the caller applies the identical ``round(dot/(lnrm*rnrm), d)``
+    expression the join formulation used, so the division happens in the
+    JVM with JVM semantics (0.0/0.0 = NaN, x/0.0 = ±Infinity — a
+    pandas-emitted NaN would be silently converted to NULL at the Arrow
+    boundary and rank LAST where the JVM NaN ranks FIRST). The dot is the
+    same left-to-right sequential fold (vectorized across pairs, one
+    dimension at a time) and the norms are the same per-row values, so
+    every surviving pair's doubles are bit-equal to the join's. Pruning is
+    a superset filter: per left id, every pair whose cosine is within
     ``2 * 10^-round_decimals`` of the k-th best is kept (rounding moves a
     value by at most half an ulp of the decimal grid, so anything below
     that margin can neither tie nor beat the kept k after rounding; ties
     ON the rounded grid are all retained for the window's right_id
-    tie-break). NaN cosines rank above everything (Spark sort order);
-    null-embedding rows (their bucket is '') emit null cosines, which the
-    window orders last — k smallest right ids per left are kept for them.
+    tie-break). Rank mapping mirrors Spark's descending order: a NaN
+    cosine from a zero norm ranks first (mapped to +inf — collides with a
+    true +Infinity cosine, which only widens the kept superset, never
+    narrows it), a NaN DOT (NaN vector component) becomes NULL at the
+    boundary exactly as the old ``seq_dot_udf`` did and ranks last
+    (mapped to -inf); null-embedding rows (their bucket is '') emit null
+    dot/norms — null cosines, window-ordered last — and keep the k
+    smallest right ids per left.
 
     One bucket is one pandas group: bucket population is corpus/2^n_planes
     on average, so n_planes must scale with the corpus (it must anyway —
@@ -361,7 +376,9 @@ def make_bucket_topk_pairs_kernel(k: int, round_decimals: int):
     empty = pd.DataFrame(
         {"left_id": pd.Series([], dtype="int64"),
          "right_id": pd.Series([], dtype="int64"),
-         "cos_raw": pd.Series([], dtype="float64")}
+         "dot": pd.Series([], dtype="float64"),
+         "lnrm": pd.Series([], dtype="float64"),
+         "rnrm": pd.Series([], dtype="float64")}
     )
 
     def kern(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -372,25 +389,29 @@ def make_bucket_topk_pairs_kernel(k: int, round_decimals: int):
         ids = pdf["vec_id"].to_numpy()[order]
         vecs = pdf["v"].to_numpy()[order]
         if vecs[0] is None:
-            # the all-null bucket: cosines are null, the window orders them
-            # last and ties break by right_id asc — keep k smallest per left
+            # the all-null bucket: dot/norms are null, cosines null, the
+            # window orders them last and ties break by right_id asc —
+            # keep k smallest per left
             lefts: list = []
             rights: list = []
             for i in range(m - 1):
                 for j in range(i + 1, min(i + 1 + k, m)):
                     lefts.append(ids[i])
                     rights.append(ids[j])
+            nan = np.full(len(lefts), np.nan)  # NaN -> NULL at the boundary
             return pd.DataFrame(
                 {"left_id": np.asarray(lefts, dtype=np.int64),
                  "right_id": np.asarray(rights, dtype=np.int64),
-                 "cos_raw": np.full(len(lefts), np.nan)}
+                 "dot": nan, "lnrm": nan, "rnrm": nan}
             )
         X = np.stack(vecs).astype(np.float64)
         nrm = pdf["nrm"].to_numpy(dtype=np.float64)[order]
         dim = X.shape[1]
         out_l: list = []
         out_r: list = []
-        out_c: list = []
+        out_d: list = []
+        out_ln: list = []
+        out_rn: list = []
         # chunk the left range so the pair workspace stays bounded
         max_pairs = 4_000_000
         i0 = 0
@@ -406,8 +427,12 @@ def make_bucket_topk_pairs_kernel(k: int, round_decimals: int):
             acc = np.zeros(total)
             for d in range(dim):
                 acc += X[ii, d] * X[jj, d]  # sequential fold, join-order
-            cos = acc / (nrm[ii] * nrm[jj])
-            rankv = np.where(np.isnan(cos), np.inf, cos)  # NaN sorts first
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = acc / (nrm[ii] * nrm[jj])
+            # Spark's desc order: NaN cosine first, ±inf/finite by value,
+            # NULL (from a NaN dot) last — see docstring for the collisions
+            rankv = np.where(np.isnan(acc), -np.inf,
+                             np.where(np.isnan(cos), np.inf, cos))
             starts = np.zeros(i1 - i0, dtype=np.intp)
             np.cumsum(counts[:-1], out=starts[1:])
             for b, i in enumerate(range(i0, i1)):
@@ -420,12 +445,16 @@ def make_bucket_topk_pairs_kernel(k: int, round_decimals: int):
                     keep = s + np.nonzero(blk >= kth - margin)[0]
                 out_l.append(ids[ii[keep]])
                 out_r.append(ids[jj[keep]])
-                out_c.append(cos[keep])
+                out_d.append(acc[keep])
+                out_ln.append(nrm[ii[keep]])
+                out_rn.append(nrm[jj[keep]])
             i0 = i1
         return pd.DataFrame(
             {"left_id": np.concatenate(out_l),
              "right_id": np.concatenate(out_r),
-             "cos_raw": np.concatenate(out_c)}
+             "dot": np.concatenate(out_d),
+             "lnrm": np.concatenate(out_ln),
+             "rnrm": np.concatenate(out_rn)}
         )
 
     return kern

@@ -97,11 +97,18 @@ def minhash_lsh_pairs(
     of a corpus-sized side would be wrong at scale (and measured slower
     locally — the driver round-trip), and sort-merge spills gracefully
     where a forced shuffled-hash build could OOM on a 100 TB key table.
-    A degenerate band's rows do shuffle once before the cap filter drops
-    them (the old anti-join dropped map-side); that is one spill-safe sort
-    of the capped band vs an extra full aggregation pass on every healthy
-    corpus — the right trade, and the quadratic pair work is what the cap
-    actually guards."""
+    Skew trade, stated plainly: a degenerate band's rows now shuffle to
+    and sort on ONE task before the cap filter discards them (hash
+    co-location by band), where the old anti-join dropped them map-side —
+    for a truly pathological band (a large fraction of the corpus under
+    one stop-phrase key) that single task becomes a spill-bound straggler.
+    The trade is taken deliberately: bands UNDER the cap land on one task
+    in BOTH designs (the join requires co-location), the sort spills to
+    disk rather than OOMing, and the alternative charges every healthy
+    corpus an extra full aggregation pass + broadcast to protect only the
+    degenerate case. Corpora known to carry mega-bands should pre-filter
+    them upstream (or lower max_band_size so the surviving sort is small —
+    the dropped rows still transit the shuffle once either way)."""
     keys = minhash_band_keys(
         df, id_col, text_col, num_perm=num_perm, bands=bands, shingle_k=shingle_k
     )
@@ -146,12 +153,19 @@ def delta_minhash_pairs(
     minhash_lsh_pairs(old) ∪ delta_minhash_pairs(old_keys, new), away from
     cap boundaries.
 
-    r6 plan shape (same rework as :func:`minhash_lsh_pairs`): the union is
-    tagged with an ``_new`` flag, the band cap is a count() window over the
-    union's single band shuffle, and the new side is a FILTER of that same
-    kept subtree — so both join inputs share one exchange (AQE reuses it;
-    the banding UDF over the new batch runs once, no persists), and the
-    cap is measured over the union exactly as before.
+    r6 plan shape (same cap rework as :func:`minhash_lsh_pairs`): the
+    union is tagged with an ``_new`` flag and the band cap is a count()
+    window over the union's single band shuffle — the separate cap
+    aggregation and oversized-set broadcast are gone. UNLIKE the
+    self-join case, the two join inputs here can NOT share one exchange:
+    column pruning drops ``_new`` from the ``t`` side, so the two band
+    exchanges differ in schema and neither static nor AQE exchange reuse
+    fires (verified in the committed x13 plan dump — the banding subtree
+    appears twice). ``kept_all`` is therefore persisted, exactly the r2
+    multi-consumer lesson this function always carried: ``old_keys`` may
+    be a LIVE banding plan (the x11/x13 queries build it inline), and
+    without the cache the whole old-corpus lineage would execute once per
+    join side — the cost the incremental path exists to avoid.
     """
     new_keys = minhash_band_keys(
         new_docs, id_col, text_col, num_perm=num_perm, bands=bands,
@@ -164,6 +178,7 @@ def delta_minhash_pairs(
         all_keys.withColumn("_n", F.count("*").over(Window.partitionBy("band")))
         .where(F.col("_n") <= max_band_size)
         .drop("_n")
+        .persist()
     )
     kept_new = kept_all.where(F.col("_new"))
     n, t = kept_new.alias("n"), kept_all.alias("t")
@@ -559,6 +574,7 @@ def embedding_bucket_keys(
     vec_col: str = "embedding",
     n_planes: int = 8,
     seed: int = 7,
+    with_norm: bool = False,
 ) -> DataFrame:
     """(id, v, bucket) hyperplane-LSH rows — the committable representation
     for the embedding near-dup family (the full and delta passes both key on
@@ -573,7 +589,11 @@ def embedding_bucket_keys(
     same left-to-right fold order as the interpreted
     ``aggregate(zip_with(...))`` HOF it replaces — bit-identical buckets,
     the x4 lesson applied to the operator family; x7/x16 oracle parity
-    re-verified). The committed (id, v, bucket) contract is unchanged."""
+    re-verified). The committed (id, v, bucket) contract is unchanged;
+    ``with_norm=True`` additionally emits ``_n`` from the SAME batched
+    pass (the norm rides the struct the bucket comes from — callers that
+    need both must not pay a second Arrow crossing of the vector
+    column)."""
     import numpy as np
 
     from ..functions.udfs import make_hyperplane_bucket_norm_udf
@@ -592,11 +612,17 @@ def embedding_bucket_keys(
         )
     )
     # the batched pass still costs O(n_planes x dim) per row: spread the
-    # scan before paying it
-    return spread(df).select(
+    # scan before paying it. Both struct fields come from ONE UDF
+    # evaluation (same expression — Catalyst batches it into a single
+    # ArrowEvalPython entry).
+    keyed = spread(df).select(
         F.col(id_col).alias("id"), checked_vec.alias("v"),
-        bn(F.col(vec_col))["bucket"].alias("bucket"),
+        bn(F.col(vec_col)).alias("_bn"),
     )
+    cols = [F.col("id"), F.col("v"), F.col("_bn.bucket").alias("bucket")]
+    if with_norm:
+        cols.append(F.col("_bn.nrm").alias("_n"))
+    return keyed.select(*cols)
 
 
 def _vec_norm(c):
@@ -632,12 +658,14 @@ def embedding_near_dup_pairs(
     """Cosine near-dups via random-hyperplane LSH buckets + exact verify.
     Brute force is O(n^2); the bucket join keeps it near-linear for tight
     thresholds (near-dup vectors almost always share all sign bits)."""
-    # persist: the bucket-bit pass (8 x dim HOF ops/row) feeds BOTH sides of
-    # the self-join; the per-row norm rides along so the per-pair work is
-    # one vectorized dot (r6 — the x4 lesson applied to the operator)
+    # persist: the bucket-bit pass feeds BOTH sides of the self-join; the
+    # per-row norm comes from the SAME Arrow pass as the bucket
+    # (with_norm=True) so the vector column crosses the Python boundary
+    # once, and the per-pair work is one vectorized dot
     keyed = embedding_bucket_keys(
-        df, dim, id_col=id_col, vec_col=vec_col, n_planes=n_planes, seed=seed
-    ).withColumn("_n", _vec_norm(F.col("v"))).persist()
+        df, dim, id_col=id_col, vec_col=vec_col, n_planes=n_planes, seed=seed,
+        with_norm=True,
+    ).persist()
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
@@ -669,8 +697,8 @@ def delta_embedding_near_dup(
     """
     new_keys = embedding_bucket_keys(
         new_vectors, dim, id_col=id_col, vec_col=vec_col,
-        n_planes=n_planes, seed=seed,
-    ).withColumn("_n", _vec_norm(F.col("v"))).persist()
+        n_planes=n_planes, seed=seed, with_norm=True,
+    ).persist()
     # two consumers: the union and the 'n' join side. The committed old
     # keys carry no norm column (their contract is (id, v, bucket)), so the
     # norm is recomputed in one map pass — O(corpus) per batch but a single

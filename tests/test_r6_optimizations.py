@@ -17,64 +17,88 @@ from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.functio
 )
 
 
-def _reference_topk(pdf: pd.DataFrame, k: int, decimals: int) -> list[tuple]:
-    """Brute-force replica of the OLD join+round+window formulation over
-    one bucket, in plain Python (Spark round semantics via java-style
-    BigDecimal HALF_UP on the shortest repr — same as DuckDB/Spark for
-    these magnitudes)."""
+def _spark_round(x, decimals):
+    """Spark's round() on a double: identity on NaN/±inf, BigDecimal
+    HALF_UP on the shortest repr otherwise."""
     from decimal import ROUND_HALF_UP, Decimal
 
-    def spark_round(x):
-        if x is None or np.isnan(x):
-            return None
-        return float(Decimal(repr(float(x))).quantize(
-            Decimal(1).scaleb(-decimals), rounding=ROUND_HALF_UP)) + 0.0
+    if x is None:
+        return None
+    x = float(x)
+    if np.isnan(x) or np.isinf(x):
+        return x
+    return float(Decimal(repr(x)).quantize(
+        Decimal(1).scaleb(-decimals), rounding=ROUND_HALF_UP)) + 0.0
 
+
+def _desc_key(pair):
+    """Spark's (cos_sim DESC, right_id ASC) ordering: NaN first (NaN sorts
+    greater than +inf), then by value desc, NULL last."""
+    c = pair[2]
+    if c is None:
+        return (2, 0.0, pair[1])
+    if np.isnan(c):
+        return (0, 0.0, pair[1])
+    return (1, -c, pair[1])
+
+
+def _jvm_cos(dot, lnrm, rnrm):
+    """The boundary + JVM semantics: a NaN dot crossed Arrow as NULL (the
+    old seq_dot_udf behaved identically), NULL propagates; otherwise IEEE
+    division (0/0 = NaN, x/0 = ±inf)."""
+    if dot is None or lnrm is None or rnrm is None:
+        return None
+    if np.isnan(dot):
+        return None
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return float(np.float64(dot) / (np.float64(lnrm) * np.float64(rnrm)))
+
+
+def _topk(cand, k):
+    out = []
+    for left in sorted({c[0] for c in cand}):
+        mine = sorted([c for c in cand if c[0] == left], key=_desc_key)
+        out.extend(mine[:k])
+    # NaN-safe comparable form (NaN != NaN would break list equality)
+    def canon(c):
+        if c is None:
+            return "NULL"
+        return "NaN" if np.isnan(c) else c
+    return sorted(((l, r, canon(c)) for l, r, c in out),
+                  key=lambda p: (p[0], p[1]))
+
+
+def _reference_topk(pdf: pd.DataFrame, k: int, decimals: int) -> list[tuple]:
+    """Brute-force replica of the OLD join+round+window formulation over
+    one bucket, in plain Python."""
     rows = pdf.sort_values("vec_id").to_dict("records")
     pairs = []
     for i in range(len(rows)):
         for j in range(i + 1, len(rows)):
             a, b = rows[i], rows[j]
             if a["v"] is None or b["v"] is None:
-                cos = None
+                dot = None
             else:
-                acc = 0.0
+                dot = 0.0
                 for xa, xb in zip(a["v"], b["v"]):
-                    acc += float(xa) * float(xb)
-                cos = acc / (a["nrm"] * b["nrm"])
-            pairs.append((a["vec_id"], b["vec_id"], spark_round(cos)))
-    out = []
-    for left in sorted({p[0] for p in pairs}):
-        mine = [p for p in pairs if p[0] == left]
-        # cos desc with None last, tie-break right_id asc (Spark window)
-        mine.sort(key=lambda p: (p[2] is None, -(p[2] if p[2] is not None else 0), p[1]))
-        out.extend(mine[:k])
-    return sorted(out)
+                    dot += float(xa) * float(xb)
+            cos = _jvm_cos(dot, a["nrm"], b["nrm"])
+            pairs.append((a["vec_id"], b["vec_id"], _spark_round(cos, decimals)))
+    return _topk(pairs, k)
 
 
 def _kernel_topk(pdf: pd.DataFrame, k: int, decimals: int) -> list[tuple]:
-    """New kernel + the same round/window math applied in Python."""
-    from decimal import ROUND_HALF_UP, Decimal
-
+    """New kernel + the same JVM round/window math applied in Python."""
     kern = make_bucket_topk_pairs_kernel(k=k, round_decimals=decimals)
     res = kern(pdf)
-
-    def spark_round(x):
-        if x is None or np.isnan(x):
-            return None
-        return float(Decimal(repr(float(x))).quantize(
-            Decimal(1).scaleb(-decimals), rounding=ROUND_HALF_UP)) + 0.0
-
-    cand = [
-        (int(r.left_id), int(r.right_id), spark_round(r.cos_raw))
-        for r in res.itertuples()
-    ]
-    out = []
-    for left in sorted({c[0] for c in cand}):
-        mine = [c for c in cand if c[0] == left]
-        mine.sort(key=lambda p: (p[2] is None, -(p[2] if p[2] is not None else 0), p[1]))
-        out.extend(mine[:k])
-    return sorted(out)
+    cand = []
+    for r in res.itertuples():
+        dot = None if np.isnan(r.dot) else r.dot  # Arrow boundary: NaN->NULL
+        ln = None if np.isnan(r.lnrm) else r.lnrm
+        rn = None if np.isnan(r.rnrm) else r.rnrm
+        cand.append((int(r.left_id), int(r.right_id),
+                     _spark_round(_jvm_cos(dot, ln, rn), decimals)))
+    return _topk(cand, k)
 
 
 def _bucket(ids, vecs, nrms=None):
@@ -115,13 +139,32 @@ def test_bucket_topk_kernel_small_and_null_buckets():
     kern = make_bucket_topk_pairs_kernel(k=3, round_decimals=3)
     # single row -> no pairs
     assert len(kern(_bucket([7], [[1.0, 0.0]]))) == 0
-    # all-null bucket -> k smallest right ids per left, cos NaN
+    # all-null bucket -> k smallest right ids per left, dot/norms NaN
+    # (which the Arrow boundary turns into NULL, exactly like the old path)
     pdf = _bucket([4, 1, 3, 9, 2], [None] * 5, nrms=[None] * 5)
     res = kern(pdf)
     got = sorted(map(tuple, res[["left_id", "right_id"]].to_numpy().tolist()))
     assert got == [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (2, 9),
                    (3, 4), (3, 9), (4, 9)]
-    assert res["cos_raw"].isna().all()
+    assert res[["dot", "lnrm", "rnrm"]].isna().all().all()
+
+
+def test_bucket_topk_kernel_zero_norm_and_nan_vectors():
+    """Adversarial inputs: zero-norm partners give 0/0 — under Spark 4
+    ANSI mode the division ERRORS (identically in the old join and the
+    new kernel-fed expression, because the kernel always RETAINS NaN-rank
+    pairs: the error must surface, not be silently pruned away); this
+    pandas-level harness models the ANSI-off/IEEE semantics (NaN ranks
+    first) to verify the retention logic. NaN-component vectors produce a
+    NULL dot (Arrow boundary, both formulations) that ranks LAST."""
+    rng = np.random.RandomState(31)
+    vecs = [rng.randn(6).tolist() for _ in range(6)]
+    vecs += [[0.0] * 6 for _ in range(3)]        # zero-norm: cos = 0/0 = NaN
+    vecs += [[np.nan] + [1.0] * 5]               # NaN component: dot NaN -> NULL
+    pdf = _bucket(np.arange(10), vecs)
+    assert _kernel_topk(pdf, 3, 3) == _reference_topk(pdf, 3, 3)
+    # and with k larger than the finite population per left
+    assert _kernel_topk(pdf, 5, 3) == _reference_topk(pdf, 5, 3)
 
 
 def test_bucket_topk_kernel_chunking_consistent():
