@@ -148,7 +148,9 @@ def main(argv=None):
 
     clusters = run_stage(
         cat, spark, "clusters",
-        lambda: cluster.connected_components(scoring.matched_edges(scored)),
+        lambda: cluster.connected_components(
+            scoring.matched_edges(scored), assume_no_self_loops=True
+        ),
         force=force_scoring,
     )
     lineage_rows.append(lineage.partition_metrics(clusters, run_id, "clustering"))

@@ -79,6 +79,7 @@ def connected_components(
     checkpoint_each_round: bool = True,
     rounds_per_check: int = 1,
     assume_dedup: bool = False,
+    assume_no_self_loops: bool = False,
 ) -> DataFrame:
     """(node, cluster_id) for every node appearing in ``edges``(u, v).
 
@@ -88,17 +89,20 @@ def connected_components(
     ``assume_dedup=True`` skips the defensive input ``distinct`` — pass it
     when the caller already deduplicated (j5/j6 do); the star rounds are
     multiplicity-insensitive, so this only drops a redundant shuffle, never
-    changes labels. The input plan is deliberately NOT persisted even
-    though two actions read it (round 0 and the singleton roll-up): an A/B
+    changes labels. The input plan is deliberately NOT persisted: an A/B
     at the 10x proxy measured the cache materialization barrier costing
-    MORE (+1.5s) than the second evaluation of the upstream edge plan —
-    the fused scan→distinct→star pipeline beats a cache write + read.
+    MORE (+1.5s) than it saves, and since the r6 roll-up rewrite the input
+    plan is evaluated ONCE anyway (round 0) — the roll-up reads only the
+    converged, checkpointed star graph (plus, when self-loops are
+    possible, one filter-pushed pass for them).
+
+    ``assume_no_self_loops=True`` additionally skips the self-loop
+    singleton pass — pass it when no input row can have ``u == v`` (pair
+    generators emitting ``left < right``, side-prefixed bipartite keys).
+    A caller whose edges CAN carry ``u == v`` rows (e.g. the incremental
+    plan's seed edges, which encode prior singletons as ``(r, r)``) must
+    leave it False or those nodes vanish from the output.
     """
-    all_nodes = (
-        edges.select(F.col("u").alias("node"))
-        .unionByName(edges.select(F.col("v").alias("node")))
-        .distinct()
-    )
     e = edges.select("u", "v").where(F.col("u") != F.col("v"))
     if not assume_dedup:
         e = e.distinct()
@@ -127,9 +131,36 @@ def connected_components(
             if cur == prev:
                 break
             prev = cur
-    # converged star graph: every edge is (member, root)
+    # Converged star graph: every edge is (member, root), members and roots
+    # are disjoint, and the rounds preserve the (u != v)-filtered node set —
+    # so labels ∪ distinct-roots IS the full non-isolated node assignment.
+    # The roll-up therefore reads ONLY the checkpointed converged edges:
+    # the pre-r6 ``all_nodes`` formulation re-evaluated the ENTIRE upstream
+    # edge DAG a second time (for t12/t13 that is the whole LSH band join)
+    # and paid a 2|E|-row distinct plus an anti-join against the labels.
     labels = e.select(F.col("u").alias("node"), F.col("v").alias("cluster_id"))
-    roots_and_singletons = all_nodes.join(
-        labels, "node", "left_anti"
-    ).select("node", F.col("node").alias("cluster_id"))
-    return labels.unionByName(roots_and_singletons)
+    roots = (
+        e.select(F.col("v").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("cluster_id"))
+    )
+    out = labels.unionByName(roots)
+    if not assume_no_self_loops:
+        # nodes seen ONLY in self-loop rows never enter the rounds; recover
+        # them with one highly selective filter-pushed pass over the input
+        # (u == v prunes at the scan) anti-joined against the converged
+        # node set. When the pass yields nothing — every production caller —
+        # AQE's empty-relation propagation elides the join at runtime.
+        self_nodes = (
+            edges.where(F.col("u") == F.col("v"))
+            .select(F.col("u").alias("node"))
+            .distinct()
+        )
+        in_e = labels.select("node").unionByName(
+            e.select(F.col("v").alias("node"))
+        )
+        singles = self_nodes.join(in_e, "node", "left_anti").select(
+            "node", F.col("node").alias("cluster_id")
+        )
+        out = out.unionByName(singles)
+    return out

@@ -422,7 +422,9 @@ def minhash_jaccard_estimates(
 
 
 def near_dup_groups_from_edges(
-    edges: DataFrame, members_cap: int | None = 1000
+    edges: DataFrame,
+    members_cap: int | None = 1000,
+    assume_no_self_loops: bool = False,
 ) -> DataFrame:
     """Cluster roll-up over an explicit near-dup edge set (u, v).
 
@@ -430,11 +432,14 @@ def near_dup_groups_from_edges(
     min doc id (== the CC cluster_id invariant), true member count, sorted
     member list. Factored out of :func:`near_dup_groups` so the roll-up is
     testable (and reusable) independent of which blocking family produced
-    the edges.
+    the edges. ``assume_no_self_loops`` passes through to
+    :func:`cluster.connected_components`; the pair-generator callers set it
+    (``left_id < right_id`` by construction) so CC never re-evaluates the
+    expensive LSH pair DAG for its roll-up.
     """
     from .cluster import connected_components
 
-    cc = connected_components(edges)
+    cc = connected_components(edges, assume_no_self_loops=assume_no_self_loops)
     if members_cap is None:
         member_expr = F.collect_list("node")
         grouped = cc
@@ -482,14 +487,20 @@ def near_dup_groups(
     """
     pairs = minhash_lsh_pairs(df, id_col, text_col, **lsh_kwargs)
     edges = pairs.select(F.col("left_id").alias("u"), F.col("right_id").alias("v"))
-    return near_dup_groups_from_edges(edges, members_cap=members_cap)
+    # left_id < right_id by construction -> CC's roll-up never needs the
+    # self-loop pass (which would re-evaluate this whole LSH pair DAG)
+    return near_dup_groups_from_edges(
+        edges, members_cap=members_cap, assume_no_self_loops=True
+    )
 
 
-def dedup_decisions_from_edges(edges: DataFrame) -> DataFrame:
+def dedup_decisions_from_edges(
+    edges: DataFrame, assume_no_self_loops: bool = False
+) -> DataFrame:
     """Per-doc drop decisions from an explicit near-dup edge set."""
     from .cluster import connected_components
 
-    cc = connected_components(edges)
+    cc = connected_components(edges, assume_no_self_loops=assume_no_self_loops)
     return cc.where(F.col("node") != F.col("cluster_id")).select(
         F.col("node").alias("doc_id"),
         F.col("cluster_id").alias("keeper"),
@@ -516,7 +527,8 @@ def dedup_decisions(
     """
     pairs = minhash_lsh_pairs(df, id_col, text_col, **lsh_kwargs)
     edges = pairs.select(F.col("left_id").alias("u"), F.col("right_id").alias("v"))
-    return dedup_decisions_from_edges(edges)
+    # left_id < right_id by construction (see near_dup_groups)
+    return dedup_decisions_from_edges(edges, assume_no_self_loops=True)
 
 
 def delta_ngram_jaccard_pairs(

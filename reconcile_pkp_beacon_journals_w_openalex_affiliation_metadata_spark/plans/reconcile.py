@@ -70,7 +70,11 @@ def reconcile(
         # table so the (expensive) blocking+scoring DAG is computed once
         # (in production this is the committed catalog table instead)
         scored = scored.persist()
-        clusters = cluster.connected_components(scoring.matched_edges(scored))
+        # matched edges are pkp-side x oa-side ids — u == v impossible, so
+        # CC's roll-up skips the self-loop recovery pass over the input
+        clusters = cluster.connected_components(
+            scoring.matched_edges(scored), assume_no_self_loops=True
+        )
     else:
         clusters = None
     return ReconcileResult(records, keys, cand, scored, clusters)

@@ -248,3 +248,64 @@ def test_cc_assume_dedup_labels_identical(spark):
     fast = {tuple(r) for r in connected_components(edges, assume_dedup=True).collect()}
     assert base == fast
     assert ("f", "f") in fast  # self-loop-only node kept as singleton
+
+
+def test_cc_rollup_selfloops_mixed_with_real_edges(spark):
+    """r6 roll-up rewrite: roots come from distinct cluster_ids of the
+    converged star graph and self-loop singletons from a filtered input
+    pass — a self-loop on a MEMBER, on a ROOT, and on an isolated node
+    must all resolve exactly as the all_nodes formulation did."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.operators.cluster import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            ("b", "a"), ("c", "b"),      # chain: component min = a
+            ("b", "b"),                  # self-loop on a member
+            ("a", "a"),                  # self-loop on the root
+            ("z", "z"), ("z", "z"),      # isolated self-loop node (dup rows)
+            ("x", "y"),                  # second component, min = x
+        ],
+        ["u", "v"],
+    )
+    got = {tuple(r) for r in connected_components(edges).collect()}
+    assert got == {
+        ("a", "a"), ("b", "a"), ("c", "a"),
+        ("x", "x"), ("y", "x"),
+        ("z", "z"),
+    }
+
+
+def test_cc_assume_no_self_loops_identical_when_none(spark):
+    """On a self-loop-free edge set the flag changes the plan (no second
+    input pass), never the assignment."""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.operators.cluster import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "a"), ("q", "p"), ("r", "q"), ("m", "n")],
+        ["u", "v"],
+    ).distinct()
+    base = {tuple(r) for r in connected_components(edges).collect()}
+    fast = {
+        tuple(r)
+        for r in connected_components(
+            edges, assume_dedup=True, assume_no_self_loops=True
+        ).collect()
+    }
+    assert base == fast
+
+
+def test_cc_assume_no_self_loops_contract_drops_selfloop_only(spark):
+    """The documented flag contract: a node seen ONLY in u == v rows is
+    dropped when the caller promises there are none. (Callers with real
+    self-loop rows — the incremental seed edges — must keep the default.)"""
+    from reconcile_pkp_beacon_journals_w_openalex_affiliation_metadata_spark.operators.cluster import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame([("b", "a"), ("f", "f")], ["u", "v"])
+    got = {tuple(r) for r in connected_components(edges, assume_no_self_loops=True).collect()}
+    assert got == {("a", "a"), ("b", "a")}

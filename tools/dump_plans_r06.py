@@ -29,6 +29,7 @@ QUERIES = [
     "t8_ngram_jaccard_dedup",
     "x7_embedding_near_dup",
     "x14_minhash_jaccard_estimate",
+    "t12_near_dup_groups",
     "t13_dedup_decisions",
     "t11_sequence_packing_slices",
     "t14_pack_materialize",
